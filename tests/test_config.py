@@ -1,0 +1,52 @@
+"""Config loader tests: reference YAML schema compatibility."""
+
+import pytest
+
+from mintime_tpu.config import MintimeConfig, config_from_dict, load_config
+
+
+def test_load_preset():
+    cfg = load_config("configs/size_invariant_timesformer.yaml")
+    assert cfg.model.num_frames == 16
+    assert cfg.model.max_identities == 2
+    assert cfg.model.dim == 512
+    assert cfg.model.depth == 9
+    assert cfg.model.channels == 2048
+    assert cfg.model.num_patches == 49
+    assert cfg.model.enable_identity_attention
+    assert cfg.training.optimizer == "SGD"
+    assert cfg.training.scheduler == "cosinelr"
+    assert cfg.model.tokens == 1 + 16 * 49
+
+
+def test_reference_kebab_keys():
+    cfg = config_from_dict(
+        {
+            "model": {"num-frames": 8, "enable-size-emb": False, "dim-head": 32},
+            "training": {"weight-decay": 0.01, "val_bs": 4},
+        }
+    )
+    assert cfg.model.num_frames == 8
+    assert not cfg.model.enable_size_emb
+    assert cfg.model.dim_head == 32
+    assert cfg.training.weight_decay == 0.01
+    assert cfg.training.val_bs == 4
+
+
+def test_invalid_num_frames_rejected():
+    # train.py:101-102 validates num-frames ∈ {8, 16, 32}
+    with pytest.raises(ValueError):
+        config_from_dict({"model": {"num-frames": 12}})
+
+
+def test_defaults():
+    cfg = MintimeConfig()
+    assert cfg.model.heads == 8
+    assert cfg.test.bs == 1
+
+
+def test_roundtrip_to_reference_dict():
+    cfg = load_config("configs/baseline.yaml")
+    d = cfg.as_reference_dict()
+    assert d["model"]["mlp-dim"] == 512
+    assert d["model"]["dim"] == 1280
