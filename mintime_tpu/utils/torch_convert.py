@@ -1,0 +1,188 @@
+"""Converters from the reference's PyTorch checkpoints to Flax param trees.
+
+The reference saves plain ``state_dict``s (``train.py:460-464``,
+``Model_checkpoint<epoch>`` / ``Extractor_checkpoint<epoch>``). These
+functions map them onto our Flax modules so published MINTIME weights can be
+served from the TPU framework. Torch is only needed when actually converting
+(kept an optional import); the mapping itself operates on numpy arrays.
+
+Conventions:
+* torch ``nn.Linear.weight`` is ``(out, in)`` → flax Dense kernel ``(in, out)``
+* torch ``nn.Embedding.weight`` rows are sliced to our right-sized tables
+  (unused rows never receive gradient in the reference, so slicing is
+  numerics-preserving; see models/timesformer.py docstring)
+* torch conv weight ``(O, I, kh, kw)`` → flax ``(kh, kw, I, O)``
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from mintime_tpu.config import ModelConfig
+from mintime_tpu.data.assembler import NUM_SIZE_BUCKETS
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def strip_prefixes(state_dict: Mapping[str, object], prefixes=("module.",)) -> dict:
+    """Drop DataParallel-style prefixes (reference xception.py:242-272 loader)."""
+    out = {}
+    for k, v in state_dict.items():
+        for p in prefixes:
+            if k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def _linear(sd, name):
+    return {"kernel": _np(sd[f"{name}.weight"]).T, "bias": _np(sd[f"{name}.bias"])}
+
+
+def _linear_nobias(sd, name):
+    return {"kernel": _np(sd[f"{name}.weight"]).T}
+
+
+def _layernorm(sd, name):
+    return {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])}
+
+
+def _conv(sd, name) -> dict:
+    """torch conv (O, I, kh, kw) → flax {kernel (kh, kw, I, O)} (+bias).
+
+    Depthwise convs (I==1 per group) transpose to (kh, kw, 1, O), which is
+    exactly flax's ``feature_group_count`` layout.
+    """
+    out = {"kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{name}.bias" in sd:
+        out["bias"] = _np(sd[f"{name}.bias"])
+    return out
+
+
+def _bn(sd, name):
+    """Split a torch BatchNorm into flax params + batch_stats halves."""
+    return (
+        {"scale": _np(sd[f"{name}.weight"]), "bias": _np(sd[f"{name}.bias"])},
+        {"mean": _np(sd[f"{name}.running_mean"]), "var": _np(sd[f"{name}.running_var"])},
+    )
+
+
+def efficientnet_params_from_torch(state_dict: Mapping[str, object], variant: str = "efficientnet-b0") -> dict:
+    """Map the reference's vendored EfficientNet state_dict
+    (models/efficientnet/efficientnet_pytorch/model.py:160-208:
+    ``_conv_stem``/``_bn0``, ``_blocks.{i}._{expand,depthwise,project}_conv``
+    + ``_bn{0,1,2}`` + ``_se_{reduce,expand}``, ``_conv_head``/``_bn1``) onto
+    :class:`mintime_tpu.models.efficientnet.EfficientNet` variables."""
+    from mintime_tpu.models.efficientnet import expand_blocks
+
+    sd = strip_prefixes(state_dict, ("module.", "efficient_net."))
+    params: dict = {}
+    stats: dict = {}
+
+    def put(name, conv=None, bnorm=None):
+        if conv is not None:
+            params[name] = conv
+        if bnorm is not None:
+            params[name], stats[name] = bnorm
+
+    put("conv_stem", conv=_conv(sd, "_conv_stem"))
+    put("bn_stem", bnorm=_bn(sd, "_bn0"))
+    for i, ba in enumerate(expand_blocks(variant)):
+        blk: dict = {}
+        blk_stats: dict = {}
+        if ba.expand != 1:
+            blk["expand_conv"] = _conv(sd, f"_blocks.{i}._expand_conv")
+            blk["bn0"], blk_stats["bn0"] = _bn(sd, f"_blocks.{i}._bn0")
+        blk["depthwise_conv"] = _conv(sd, f"_blocks.{i}._depthwise_conv")
+        blk["bn1"], blk_stats["bn1"] = _bn(sd, f"_blocks.{i}._bn1")
+        blk["se_reduce"] = _conv(sd, f"_blocks.{i}._se_reduce")
+        blk["se_expand"] = _conv(sd, f"_blocks.{i}._se_expand")
+        blk["project_conv"] = _conv(sd, f"_blocks.{i}._project_conv")
+        blk["bn2"], blk_stats["bn2"] = _bn(sd, f"_blocks.{i}._bn2")
+        params[f"block_{i}"] = blk
+        stats[f"block_{i}"] = blk_stats
+    put("conv_head", conv=_conv(sd, "_conv_head"))
+    put("bn_head", bnorm=_bn(sd, "_bn1"))
+    return {"params": params, "batch_stats": stats}
+
+
+def xception_params_from_torch(state_dict: Mapping[str, object]) -> dict:
+    """Map the reference Xception state_dict (models/xception.py:82-155) onto
+    :class:`mintime_tpu.models.xception.Xception` variables. Handles the
+    torch ``nn.Sequential`` index layout of each block's ``rep`` list."""
+    from mintime_tpu.models.xception import BLOCK_SPECS
+
+    sd = strip_prefixes(state_dict)
+    params: dict = {}
+    stats: dict = {}
+
+    def sep(name):
+        return {
+            "depthwise": _conv(sd, f"{name}.conv1"),
+            "pointwise": _conv(sd, f"{name}.pointwise"),
+        }
+
+    params["conv1"] = _conv(sd, "conv1")
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    params["conv2"] = _conv(sd, "conv2")
+    params["bn2"], stats["bn2"] = _bn(sd, "bn2")
+    for bi, (cin, cout, reps, stride, swr, gf) in enumerate(BLOCK_SPECS):
+        blk: dict = {}
+        blk_stats: dict = {}
+        base = f"block{bi + 1}"
+        off = 1 if swr else 0  # rep Sequential: [relu?] sep bn relu sep bn ...
+        for i in range(reps):
+            blk[f"sep_{i}"] = sep(f"{base}.rep.{3 * i + off}")
+            blk[f"bn_{i}"], blk_stats[f"bn_{i}"] = _bn(sd, f"{base}.rep.{3 * i + off + 1}")
+        if cout != cin or stride != 1:
+            blk["skip_conv"] = _conv(sd, f"{base}.skip")
+            blk["skip_bn"], blk_stats["skip_bn"] = _bn(sd, f"{base}.skipbn")
+        params[f"block_{bi + 1}"] = blk
+        stats[f"block_{bi + 1}"] = blk_stats
+    params["conv3"] = sep("conv3")
+    params["bn3"], stats["bn3"] = _bn(sd, "bn3")
+    params["conv4"] = sep("conv4")
+    params["bn4"], stats["bn4"] = _bn(sd, "bn4")
+    return {"params": params, "batch_stats": stats}
+
+
+def timesformer_params_from_torch(
+    state_dict: Mapping[str, object], config: ModelConfig
+) -> dict:
+    """Map a reference ``SizeInvariantTimeSformer`` state_dict
+    (models/size_invariant_timesformer.py:147-221) to our Flax params."""
+    sd = strip_prefixes(state_dict)
+    F, n = config.num_frames, config.num_patches
+    params: dict = {
+        "to_patch_embedding": _linear(sd, "to_patch_embedding"),
+        "cls_token": _np(sd["cls_token"]),
+        "pos_emb": {"embedding": _np(sd["pos_emb.weight"])[: 1 + F * n]},
+        "out_norm": _layernorm(sd, "to_out.0"),
+        "out_proj": _linear(sd, "to_out.1"),
+    }
+    if config.enable_size_emb:
+        params["size_emb"] = {
+            "embedding": _np(sd["size_emb.weight"])[: 1 + NUM_SIZE_BUCKETS]
+        }
+    for i in range(config.depth):
+        # layers.{i}.{0,1,2} = PreNorm(time_attn), PreNorm(space_attn), PreNorm(ff)
+        for j, kind in ((0, "time"), (1, "space")):
+            base = f"layers.{i}.{j}"
+            params[f"{kind}_norm_{i}"] = _layernorm(sd, f"{base}.norm")
+            params[f"{kind}_attn_{i}"] = {
+                "Dense_0": _linear_nobias(sd, f"{base}.fn.to_qkv"),
+                "Dense_1": _linear(sd, f"{base}.fn.to_out.0"),
+            }
+        base = f"layers.{i}.2"
+        params[f"ff_norm_{i}"] = _layernorm(sd, f"{base}.norm")
+        params[f"ff_{i}"] = {
+            "Dense_0": _linear(sd, f"{base}.fn.net.0"),
+            "Dense_1": _linear(sd, f"{base}.fn.net.3"),
+        }
+    return params
