@@ -1,0 +1,271 @@
+"""Dataset: reference on-disk face-crop layout → fixed-shape device batches.
+
+Consumes the exact layout the preprocessing chain produces
+(``faces/<split>/<class>/<video>/<identity_k>/<frame>_<face>.png`` with
+unclustered "discarded" crops loose in the video folder — SURVEY.md §L1/L2),
+so datasets prepared for the reference drop in unchanged.
+
+Everything ragged happens here on the host via the pure
+:mod:`mintime_tpu.data.assembler`; a sample is a dict of fixed-shape numpy
+arrays ready for ``jax.device_put`` with the batch axis sharded on the
+``data`` mesh axis.
+
+Divergences from ``deepfakes_dataset.py`` (documented, intended-behavior):
+* mask is 0 for dummy pads (predict.py:300-306 semantics; the reference
+  train dataset accidentally emits all-ones, :284-287) — set
+  ``legacy_all_ones_mask=True`` for bit-compat.
+* identity mean face size is read from the crop file header via cv2
+  (reference uses python-magic, deepfakes_dataset.py:114).
+* video frame dimensions for the size buckets come from the crop geometry
+  relation rather than re-opening the original .mp4 per face
+  (deepfakes_dataset.py:250-253 opens the video once per identity); pass
+  ``video_dims`` or a ``video_path`` root to use original videos.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+from typing import Mapping, Sequence
+
+import cv2
+import numpy as np
+
+from mintime_tpu.data.assembler import (
+    IdentityFaces,
+    SequencePlan,
+    build_sequence_plan,
+    size_bucket,
+)
+from mintime_tpu.data.augment import Compose, create_train_transforms, create_val_transform
+
+_FRAME_RE = re.compile(r"^(\d+)_(\d+)")
+
+
+def _frame_of(path: str) -> int:
+    m = _FRAME_RE.match(os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
+@dataclass
+class VideoFaces:
+    """All face crops of one video, grouped by identity."""
+
+    video_dir: str
+    identities: list[IdentityFaces]
+    #: face paths per identity, time-sorted to align with IdentityFaces.frames
+    faces: dict[str, list[str]]
+    discarded: list[str]
+
+
+def scan_video_dir(video_dir: str) -> VideoFaces:
+    """Scan one video folder into identity groups + discarded faces.
+
+    Mirrors deepfakes_dataset.get_sorted_identities' directory walk
+    (:123-139) including the discarded-crop merge into the first identity
+    (:227-235, applied later at plan time via :func:`merge_discarded`).
+    """
+    identities: list[IdentityFaces] = []
+    faces: dict[str, list[str]] = {}
+    discarded: list[str] = []
+    for entry in sorted(os.listdir(video_dir)):
+        p = os.path.join(video_dir, entry)
+        if not os.path.isdir(p):
+            discarded.append(p)
+            continue
+        crops = sorted(
+            (os.path.join(p, f) for f in os.listdir(p)),
+            key=_frame_of,
+        )
+        if not crops:
+            continue
+        sides = []
+        for c in crops[:8]:  # sample a few headers for the mean side
+            img = cv2.imread(c, cv2.IMREAD_UNCHANGED)
+            if img is not None:
+                sides.append(img.shape[1])
+        identities.append(
+            IdentityFaces(
+                key=entry,
+                frames=[_frame_of(c) for c in crops],
+                mean_side=float(np.mean(sides)) if sides else 0.0,
+            )
+        )
+        faces[entry] = crops
+    if not identities and discarded:
+        # no clustered identities: treat the loose crops as one identity
+        crops = sorted(discarded, key=_frame_of)
+        identities.append(
+            IdentityFaces(
+                key=os.path.basename(video_dir),
+                frames=[_frame_of(c) for c in crops],
+                mean_side=0.0,
+            )
+        )
+        faces[identities[0].key] = crops
+        discarded = []
+    return VideoFaces(video_dir, identities, faces, discarded)
+
+
+def merge_discarded(vf: VideoFaces) -> VideoFaces:
+    """Merge discarded crops into identity 0 for frames it is missing
+    (deepfakes_dataset.py:227-235)."""
+    if not vf.discarded or not vf.identities:
+        return vf
+    first = vf.identities[0]
+    have = set(first.frames)
+    extra = [p for p in vf.discarded if _frame_of(p) not in have]
+    if not extra:
+        return vf
+    merged_paths = sorted(vf.faces[first.key] + extra, key=_frame_of)
+    new_first = IdentityFaces(
+        key=first.key,
+        frames=[_frame_of(p) for p in merged_paths],
+        mean_side=first.mean_side,
+    )
+    identities = [new_first] + vf.identities[1:]
+    faces = dict(vf.faces)
+    faces[first.key] = merged_paths
+    return VideoFaces(vf.video_dir, identities, faces, vf.discarded)
+
+
+class DeepfakesDataset:
+    """Map-style dataset with the reference's sample contract
+    (deepfakes_dataset.py:338-341): returns a dict with
+
+    ``frames (F,H,W,3) float32`` raw 0..255, ``size_embedding (F,) int32``,
+    ``mask (F,) bool``, ``identities_mask (F,F) bool``,
+    ``positions (1+F*P,) int32``, ``label``, plus ``video_id``,
+    ``multiclass_label`` and ``tokens_per_identity`` in test mode.
+    """
+
+    def __init__(
+        self,
+        videos: Sequence[str],
+        labels: Sequence[float],
+        data_path: str = "",
+        image_size: int = 224,
+        num_frames: int = 16,
+        num_patches: int = 49,
+        max_identities: int = 2,
+        mode: str = "train",
+        augmentation: str = "max",
+        identities_ordering: int = 0,
+        multiclass_labels: Sequence[float] | None = None,
+        video_dims: Mapping[str, tuple[int, int]] | None = None,
+        legacy_all_ones_mask: bool = False,
+        seed: int = 42,
+    ):
+        self.videos = list(videos)
+        self.labels = list(labels)
+        self.multiclass_labels = multiclass_labels
+        self.data_path = data_path
+        self.image_size = image_size
+        self.num_frames = num_frames
+        self.num_patches = num_patches
+        self.max_identities = max_identities
+        self.mode = mode
+        self.identities_ordering = identities_ordering
+        self.video_dims = video_dims or {}
+        self.legacy_all_ones_mask = legacy_all_ones_mask
+        self.seed = seed
+        if mode == "train":
+            self.transform: Compose = create_train_transforms(image_size, augmentation)
+        else:
+            self.transform = create_val_transform(image_size)
+
+    def __len__(self):
+        return len(self.videos)
+
+    def _video_area(self, video_rel: str, crop_shape) -> float:
+        """video_area = w*h/2 (deepfakes_dataset.py:253). Falls back to a
+        720p assumption when original video dims are unknown."""
+        dims = self.video_dims.get(video_rel)
+        if dims is None:
+            w, h = 1280.0, 720.0
+        else:
+            w, h = float(dims[0]), float(dims[1])
+        return w * h / 2.0
+
+    def __getitem__(self, index: int) -> dict:
+        video_rel = self.videos[index]
+        video_dir = os.path.join(self.data_path, video_rel)
+        vf = merge_discarded(scan_video_dir(video_dir))
+        rng = np.random.default_rng((self.seed, index))
+        import random as _random
+
+        plan = build_sequence_plan(
+            vf.identities,
+            num_frames=self.num_frames,
+            num_patches=self.num_patches,
+            max_identities=self.max_identities,
+            ordering=self.identities_ordering,
+            parity=index,
+            rng=_random.Random(int(rng.integers(2**31))),
+            legacy_all_ones_mask=self.legacy_all_ones_mask,
+        )
+
+        video_area = None
+        frames = []
+        size_embeddings = np.zeros(self.num_frames, np.int32)
+        for slot in range(self.num_frames):
+            fi = plan.face_index[slot]
+            if fi < 0:
+                frames.append(
+                    np.zeros((self.image_size, self.image_size, 3), np.uint8)
+                )
+                continue
+            ident_key = plan.identity_keys[plan.identity_index[slot]]
+            path = vf.faces[ident_key][fi]
+            img = cv2.imread(path)
+            if img is None:
+                img = np.zeros((self.image_size, self.image_size, 3), np.uint8)
+            if video_area is None:
+                video_area = self._video_area(video_rel, img.shape)
+            # size bucket from face/frame area ratio (deepfakes_dataset:250-263)
+            face_area = img.shape[0] * img.shape[1] / 2.0
+            ratio = int(face_area * 100.0 / video_area)
+            size_embeddings[slot] = _bucket_of(ratio)
+            frames.append(img)
+
+        frames = self.transform(frames, rng)
+        sample = {
+            "frames": np.stack(frames).astype(np.float32),
+            "size_embedding": size_embeddings,
+            "mask": plan.mask,
+            "identities_mask": plan.identities_mask,
+            "positions": plan.positions,
+            "labels": np.float32(self.labels[index]),
+        }
+        if self.mode == "test":
+            sample["video_id"] = video_rel.replace("/", "_")
+            sample["tokens_per_identity"] = plan.tokens_per_identity
+            if self.multiclass_labels is not None:
+                sample["multiclass_label"] = self.multiclass_labels[index]
+        return sample
+
+
+def _bucket_of(ratio: int) -> int:
+    """1-based 5%-bucket of an integer percentage ratio (SIZE_EMB_DICT)."""
+    from mintime_tpu.data.assembler import SIZE_EMB_RANGES, NUM_SIZE_BUCKETS
+
+    for i, (lo, hi) in enumerate(SIZE_EMB_RANGES):
+        if lo <= ratio <= hi:
+            return i + 1
+    return NUM_SIZE_BUCKETS
+
+
+def collate(samples: Sequence[dict]) -> dict:
+    """Stack samples into a fixed-shape batch dict."""
+    keys = ["frames", "size_embedding", "mask", "identities_mask", "positions"]
+    batch = {k: np.stack([s[k] for s in samples]) for k in keys}
+    batch["labels"] = np.asarray([s["labels"] for s in samples], np.float32)
+    if "video_id" in samples[0]:
+        batch["video_id"] = [s["video_id"] for s in samples]
+        batch["tokens_per_identity"] = [s["tokens_per_identity"] for s in samples]
+    if "multiclass_label" in samples[0]:
+        batch["multiclass_label"] = np.asarray(
+            [s["multiclass_label"] for s in samples], np.float32
+        )
+    return batch

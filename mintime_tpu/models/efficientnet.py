@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Any
+
 
 @dataclass(frozen=True)
 class BlockArgs:
@@ -110,6 +112,7 @@ class MBConvBlock(nn.Module):
     drop_rate: float = 0.0
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
+    dtype: Any = None  # compute dtype (e.g. bf16 on TPU); params stay fp32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -122,11 +125,12 @@ class MBConvBlock(nn.Module):
                 use_running_average=not train,
                 momentum=self.bn_momentum,
                 epsilon=self.bn_eps,
+                dtype=self.dtype,
                 name=name,
             )
 
         if a.expand != 1:
-            x = nn.Conv(expanded, (1, 1), use_bias=False, name="expand_conv")(x)
+            x = nn.Conv(expanded, (1, 1), use_bias=False, dtype=self.dtype, name="expand_conv")(x)
             x = jax.nn.silu(bn("bn0")(x))
 
         x = nn.Conv(
@@ -136,6 +140,7 @@ class MBConvBlock(nn.Module):
             padding="SAME",
             feature_group_count=expanded,
             use_bias=False,
+            dtype=self.dtype,
             name="depthwise_conv",
         )(x)
         x = jax.nn.silu(bn("bn1")(x))
@@ -143,12 +148,12 @@ class MBConvBlock(nn.Module):
         if a.se_ratio and 0 < a.se_ratio <= 1:
             se_ch = max(1, int(a.in_filters * a.se_ratio))
             s = jnp.mean(x, axis=(1, 2), keepdims=True)
-            s = nn.Conv(se_ch, (1, 1), name="se_reduce")(s)
+            s = nn.Conv(se_ch, (1, 1), dtype=self.dtype, name="se_reduce")(s)
             s = jax.nn.silu(s)
-            s = nn.Conv(expanded, (1, 1), name="se_expand")(s)
+            s = nn.Conv(expanded, (1, 1), dtype=self.dtype, name="se_expand")(s)
             x = jax.nn.sigmoid(s) * x
 
-        x = nn.Conv(a.out_filters, (1, 1), use_bias=False, name="project_conv")(x)
+        x = nn.Conv(a.out_filters, (1, 1), use_bias=False, dtype=self.dtype, name="project_conv")(x)
         x = bn("bn2")(x)
 
         if a.stride == 1 and a.in_filters == a.out_filters:
@@ -170,6 +175,7 @@ class EfficientNet(nn.Module):
     variant: str = "efficientnet-b0"
     drop_connect_rate: float = 0.2
     tap_block: int | None = None
+    dtype: Any = None  # compute dtype (e.g. bf16 on TPU); params stay fp32
 
     @property
     def feature_dim(self) -> int:
@@ -184,7 +190,11 @@ class EfficientNet(nn.Module):
 
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3, name=name
+                use_running_average=not train,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name=name,
             )
 
         x = nn.Conv(
@@ -193,20 +203,24 @@ class EfficientNet(nn.Module):
             strides=(2, 2),
             padding="SAME",
             use_bias=False,
+            dtype=self.dtype,
             name="conv_stem",
         )(x)
         x = jax.nn.silu(bn("bn_stem")(x))
 
         for idx, ba in enumerate(blocks):
             rate = self.drop_connect_rate * idx / nblocks
-            x = MBConvBlock(ba, drop_rate=rate, name=f"block_{idx}")(x, train=train)
+            x = MBConvBlock(
+                ba, drop_rate=rate, dtype=self.dtype, name=f"block_{idx}"
+            )(x, train=train)
             # reference model.py:316-317: stop once idx exceeds the tap
             if self.tap_block is not None and idx > self.tap_block:
                 break
 
         if self.tap_block is None or self.tap_block >= nblocks:
             x = nn.Conv(
-                self.feature_dim, (1, 1), use_bias=False, name="conv_head"
+                self.feature_dim, (1, 1), use_bias=False, dtype=self.dtype,
+                name="conv_head",
             )(x)
             x = jax.nn.silu(bn("bn_head")(x))
         return x

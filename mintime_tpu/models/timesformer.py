@@ -22,7 +22,7 @@ Conscious divergences from the reference (documented per SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -49,14 +49,15 @@ class GEGLU(nn.Module):
     dim: int
     mult: int = 4
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.dim * self.mult * 2, kernel_init=_INIT)(x)
+        h = nn.Dense(self.dim * self.mult * 2, kernel_init=_INIT, dtype=self.dtype)(x)
         val, gates = jnp.split(h, 2, axis=-1)
         h = val * jax.nn.gelu(gates, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.dim, kernel_init=_INIT)(h)
+        return nn.Dense(self.dim, kernel_init=_INIT, dtype=self.dtype)(h)
 
 
 class DividedAttention(nn.Module):
@@ -72,6 +73,7 @@ class DividedAttention(nn.Module):
     heads: int
     dim_head: int
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -87,7 +89,7 @@ class DividedAttention(nn.Module):
     ):
         B, N, _ = x.shape
         inner = self.heads * self.dim_head
-        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=_INIT)(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=_INIT, dtype=self.dtype)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads_first(t):  # (B, N, inner) -> (B, H, N, d)
@@ -114,7 +116,7 @@ class DividedAttention(nn.Module):
         out_tok = out_g.reshape(B, self.heads, f * n, self.dim_head)
         out = jnp.concatenate([cls_out, out_tok], axis=2)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
-        out = nn.Dense(self.dim, kernel_init=_INIT)(out)
+        out = nn.Dense(self.dim, kernel_init=_INIT, dtype=self.dtype)(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out, cls_attn
 
@@ -136,6 +138,7 @@ class SizeInvariantTimeSformer(nn.Module):
 
     config: ModelConfig
     require_attention: bool = False
+    dtype: Any = None  # compute dtype for matmuls (softmax always fp32)
 
     @nn.compact
     def __call__(
@@ -153,9 +156,9 @@ class SizeInvariantTimeSformer(nn.Module):
         if n != cfg.num_patches:
             raise ValueError(f"feature grid {h}x{w} != num-patches {cfg.num_patches}")
 
-        tokens = nn.Dense(cfg.dim, kernel_init=_INIT, name="to_patch_embedding")(
-            x.reshape(B, F * n, C)
-        )
+        tokens = nn.Dense(
+            cfg.dim, kernel_init=_INIT, dtype=self.dtype, name="to_patch_embedding"
+        )(x.reshape(B, F * n, C))
         cls_token = self.param("cls_token", _INIT, (1, cfg.dim))
         xseq = jnp.concatenate(
             [jnp.broadcast_to(cls_token[None], (B, 1, cfg.dim)).astype(tokens.dtype), tokens],
@@ -195,7 +198,7 @@ class SizeInvariantTimeSformer(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name=f"time_norm_{layer}")(xseq)
             y, time_attn_out = DividedAttention(
                 cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                name=f"time_attn_{layer}",
+                dtype=self.dtype, name=f"time_attn_{layer}",
             )(
                 y, axis="time", f=F, n=n, frame_mask=frame_mask, cls_mask=cls_mask,
                 deterministic=deterministic,
@@ -204,14 +207,14 @@ class SizeInvariantTimeSformer(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name=f"space_norm_{layer}")(xseq)
             y, space_attn_out = DividedAttention(
                 cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                name=f"space_attn_{layer}",
+                dtype=self.dtype, name=f"space_attn_{layer}",
             )(
                 y, axis="space", f=F, n=n, cls_mask=cls_mask,
                 deterministic=deterministic,
             )
             xseq = xseq + y
             y = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{layer}")(xseq)
-            xseq = xseq + GEGLU(cfg.dim, dropout=cfg.ff_dropout, name=f"ff_{layer}")(
+            xseq = xseq + GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype, name=f"ff_{layer}")(
                 y, deterministic=deterministic
             )
 

@@ -13,7 +13,7 @@ BatchNorm uses torch defaults (eps 1e-5; flax momentum 0.9 == torch 0.1).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -27,6 +27,7 @@ class SeparableConv(nn.Module):
     kernel: int = 3
     stride: int = 1
     pad: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -38,9 +39,12 @@ class SeparableConv(nn.Module):
             padding=((self.pad, self.pad), (self.pad, self.pad)),
             feature_group_count=in_ch,
             use_bias=False,
+            dtype=self.dtype,
             name="depthwise",
         )(x)
-        return nn.Conv(self.features, (1, 1), use_bias=False, name="pointwise")(x)
+        return nn.Conv(
+            self.features, (1, 1), use_bias=False, dtype=self.dtype, name="pointwise"
+        )(x)
 
 
 class XceptionBlock(nn.Module):
@@ -52,12 +56,14 @@ class XceptionBlock(nn.Module):
     stride: int = 1
     start_with_relu: bool = True
     grow_first: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name,
             )
 
         inp = x
@@ -72,7 +78,7 @@ class XceptionBlock(nn.Module):
         for i, (_, out_ch) in enumerate(layers):
             if i > 0 or self.start_with_relu:
                 x = jax.nn.relu(x)
-            x = SeparableConv(out_ch, name=f"sep_{i}")(x)
+            x = SeparableConv(out_ch, dtype=self.dtype, name=f"sep_{i}")(x)
             x = bn(f"bn_{i}")(x)
 
         if self.stride != 1:
@@ -89,6 +95,7 @@ class XceptionBlock(nn.Module):
                 (1, 1),
                 strides=(self.stride, self.stride),
                 use_bias=False,
+                dtype=self.dtype,
                 name="skip_conv",
             )(inp)
             skip = bn("skip_bn")(skip)
@@ -112,26 +119,29 @@ class Xception(nn.Module):
     ``forward`` (xception.py:161-217): entry flow → 12 blocks → two separable
     exit convs, returning the pre-ReLU ``(N, h, w, 2048)`` map."""
 
+    dtype: Any = None  # compute dtype (e.g. bf16 on TPU); params stay fp32
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name=name,
             )
 
         x = nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID", use_bias=False,
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = jax.nn.relu(bn("bn1")(x))
-        x = nn.Conv(64, (3, 3), padding="VALID", use_bias=False, name="conv2")(x)
+        x = nn.Conv(64, (3, 3), padding="VALID", use_bias=False, dtype=self.dtype, name="conv2")(x)
         x = jax.nn.relu(bn("bn2")(x))
 
         for i, (cin, cout, reps, stride, swr, gf) in enumerate(BLOCK_SPECS):
             x = XceptionBlock(
-                cin, cout, reps, stride, swr, gf, name=f"block_{i + 1}"
+                cin, cout, reps, stride, swr, gf, dtype=self.dtype, name=f"block_{i + 1}"
             )(x, train=train)
 
-        x = SeparableConv(1536, name="conv3")(x)
+        x = SeparableConv(1536, dtype=self.dtype, name="conv3")(x)
         x = jax.nn.relu(bn("bn3")(x))
-        x = SeparableConv(2048, name="conv4")(x)
+        x = SeparableConv(2048, dtype=self.dtype, name="conv4")(x)
         x = bn("bn4")(x)
         return x

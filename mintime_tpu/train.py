@@ -1,0 +1,214 @@
+"""Training: one jitted SPMD train step + the driver loop.
+
+TPU-native replacement for the reference's ``train.py`` torch loop
+(train.py:314-472): the backbone+head forward, BCE-with-pos_weight loss,
+backward, and optimizer update are ONE XLA program compiled once and sharded
+over the ``data`` mesh axis (gradients all-reduce over ICI automatically).
+The reference's per-step ``.cpu()`` loss sync (train.py:364-368) is
+deliberately NOT replicated — metrics stay on device and are fetched
+asynchronously.
+
+Optimizer/schedule parity (train.py:185-193, 278-291):
+* SGD / Adam use torch-style *coupled* L2 weight decay (decay added to the
+  gradient); AdamW uses decoupled decay — matching torch semantics.
+* ``steplr``: lr × gamma every ``step-size`` epochs (staircase).
+* ``cosinelr``: cosine from lr to lr×0.1 over the whole run (timm
+  CosineLRScheduler with ``lr_min = lr*0.1``, cycle_limit 1).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Iterable, Mapping
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import core, struct
+
+from mintime_tpu.config import MintimeConfig
+from mintime_tpu.models.classifier import MintimeVideoClassifier
+from mintime_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+
+
+def bce_with_logits(logits, labels, pos_weight: float = 1.0):
+    """torch.nn.BCEWithLogitsLoss(pos_weight=...) semantics (train.py:261).
+
+    mean over elements of ``(1-y)x + (1 + (w-1)y) * softplus(-x)``.
+    """
+    x = logits.astype(jnp.float32).reshape(-1)
+    y = labels.astype(jnp.float32).reshape(-1)
+    per = (1.0 - y) * x + (1.0 + (pos_weight - 1.0) * y) * jax.nn.softplus(-x)
+    return per.mean()
+
+
+def make_schedule(cfg: MintimeConfig, steps_per_epoch: int, num_epochs: int):
+    t = cfg.training
+    if t.scheduler.lower() == "steplr":
+        return optax.exponential_decay(
+            init_value=t.lr,
+            transition_steps=t.step_size * steps_per_epoch,
+            decay_rate=t.gamma,
+            staircase=True,
+        )
+    if t.scheduler.lower() == "cosinelr":
+        return optax.cosine_decay_schedule(
+            init_value=t.lr,
+            decay_steps=max(1, num_epochs * steps_per_epoch),
+            alpha=0.1,  # lr_min = lr * 0.1 (train.py:285-291)
+        )
+    return t.lr  # constant
+
+
+def make_optimizer(cfg: MintimeConfig, schedule) -> optax.GradientTransformation:
+    t = cfg.training
+    name = t.optimizer.lower()
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(t.weight_decay),
+            optax.sgd(schedule),
+        )
+    if name == "adamw":
+        return optax.adamw(schedule, weight_decay=t.weight_decay)
+    if name == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(t.weight_decay),
+            optax.adam(schedule),
+        )
+    raise ValueError(f"invalid optimizer {t.optimizer!r} (train.py:185-193)")
+
+
+def model_inputs(batch: Mapping[str, Any], head: str) -> tuple:
+    if head == "baseline":
+        return (batch["frames"],)
+    return (
+        batch["frames"],
+        batch["mask"],
+        batch["identities_mask"],
+        batch["size_embedding"],
+        batch["positions"],
+    )
+
+
+def create_train_state(
+    rng,
+    model: MintimeVideoClassifier,
+    example_batch: Mapping[str, Any],
+    cfg: MintimeConfig,
+    steps_per_epoch: int = 1000,
+    num_epochs: int = 30,
+) -> TrainState:
+    variables = model.init(rng, *model_inputs(example_batch, model.head), train=False)
+    tx = make_optimizer(cfg, make_schedule(cfg, steps_per_epoch, num_epochs))
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", core.FrozenDict()),
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    model: MintimeVideoClassifier, pos_weight: float = 1.0
+) -> Callable:
+    """Build the jitted train step: (state, batch, dropout_rng) → (state, metrics)."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params}
+        mutable = []
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+            mutable = ["batch_stats"]
+        out = model.apply(
+            variables,
+            *model_inputs(batch, model.head),
+            train=True,
+            rngs={"dropout": rng},
+            mutable=mutable,
+        )
+        logits, updated = out if mutable else (out, {})
+        loss = bce_with_logits(logits, batch["labels"], pos_weight)
+        return loss, (logits, updated.get("batch_stats", batch_stats))
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        state = state.apply_gradients(grads, new_stats)
+        preds = (jax.nn.sigmoid(logits.reshape(-1)) >= 0.5).astype(jnp.int32)
+        labels = batch["labels"].reshape(-1).astype(jnp.int32)
+        metrics = {
+            "loss": loss,
+            "correct": (preds == labels).sum(),
+            "positive": preds.sum(),
+            "count": preds.shape[0],
+        }
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: MintimeVideoClassifier, pos_weight: float = 1.0) -> Callable:
+    def eval_step(state: TrainState, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, *model_inputs(batch, model.head), train=False)
+        loss = bce_with_logits(logits, batch["labels"], pos_weight)
+        return {"logits": logits.reshape(-1), "loss": loss}
+
+    return eval_step
+
+
+def jit_steps(model, mesh, pos_weight):
+    """jit train/eval steps with explicit (replicated state, data-sharded
+    batch) shardings over the mesh."""
+    rep, bsh = replicated(mesh), batch_sharding(mesh)
+    train_step = jax.jit(
+        make_train_step(model, pos_weight),
+        in_shardings=(rep, bsh, rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(
+        make_eval_step(model, pos_weight),
+        in_shardings=(rep, bsh),
+        out_shardings=rep,
+    )
+    return train_step, eval_step
+
+
+def pos_weight_from_labels(labels) -> float:
+    """class_weights = #pristine / #fake (train.py:248)."""
+    import numpy as np
+
+    labels = np.asarray(labels)
+    pos = int((labels == 1).sum())
+    neg = int((labels == 0).sum())
+    return neg / max(pos, 1)

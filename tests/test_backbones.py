@@ -21,7 +21,8 @@ class TestEfficientNetStructure:
     def test_round_filters(self):
         # reference utils.py round_filters behavior
         assert round_filters(32, 1.0) == 32
-        assert round_filters(32, 1.1) == 40  # 35.2 → 32 <0.9*35.2 → 40
+        assert round_filters(32, 1.1) == 32  # 35.2 → 32; 32 >= 0.9*35.2 keeps 32
+        assert round_filters(40, 1.1) == 48  # 44 → nearest multiple of 8 is 48
         assert round_filters(1280, 1.0) == 1280
 
     def test_feature_shape_b0(self):
