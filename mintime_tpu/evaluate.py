@@ -1,0 +1,187 @@
+"""Dataset evaluation — parity with the reference ``test.py``.
+
+Jitted forward over the test split, then host-side metrics:
+loss / F1 / accuracy / AUC / per-method error counts (test.py:271-290),
+the ``--only_multiidentity`` folder-structure filter (test.py:169-184), and
+optional attention bar plots (test.py:248-254).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from mintime_tpu.config import MintimeConfig, load_config
+from mintime_tpu.utils.metrics import evaluation_report, sigmoid
+from mintime_tpu.train import bce_with_logits
+
+
+def filter_multi_identity(videos: Sequence[str], data_path: str) -> list[int]:
+    """Indices of videos with >1 clustered identity folder (test.py:169-184)."""
+    keep = []
+    for i, video in enumerate(videos):
+        vdir = os.path.join(data_path, video)
+        try:
+            n_ids = sum(
+                os.path.isdir(os.path.join(vdir, e)) for e in os.listdir(vdir)
+            )
+        except OSError:
+            continue
+        if n_ids > 1:
+            keep.append(i)
+    return keep
+
+
+def evaluate(
+    model,
+    variables,
+    loader,
+    pos_weight: float = 1.0,
+    save_attention_plots: bool = False,
+    heads: int = 8,
+    num_frames: int = 16,
+    num_patches: int = 49,
+) -> dict:
+    """Run the jitted forward over a loader, return the test.py report."""
+    import jax
+
+    from mintime_tpu.train import model_inputs
+
+    need_attn = save_attention_plots and getattr(model, "require_attention", False)
+
+    @jax.jit
+    def fwd(variables, frames, mask, identities_mask, size_embedding, positions):
+        return model.apply(
+            variables, frames, mask, identities_mask, size_embedding, positions
+        )
+
+    all_logits, all_labels, all_mc, losses = [], [], [], []
+    for batch in loader:
+        inputs = model_inputs(batch, model.head if hasattr(model, "head") else "timesformer")
+        out = fwd(variables, *inputs) if len(inputs) == 5 else jax.jit(model.apply)(
+            variables, *inputs
+        )
+        if need_attn:
+            logits, attns = out
+            _plot_batch_attention(
+                batch, attns, heads, num_frames, num_patches
+            )
+        else:
+            logits = out
+        logits = np.asarray(logits).reshape(-1)
+        labels = np.asarray(batch["labels"]).reshape(-1)
+        losses.append(float(bce_with_logits(logits, labels, pos_weight)))
+        all_logits.append(logits)
+        all_labels.append(labels)
+        if "multiclass_label" in batch:
+            all_mc.append(np.asarray(batch["multiclass_label"]).reshape(-1))
+
+    logits = np.concatenate(all_logits) if all_logits else np.zeros(0)
+    labels = np.concatenate(all_labels) if all_labels else np.zeros(0)
+    mc = np.concatenate(all_mc) if all_mc else None
+    report = evaluation_report(logits, labels, mc)
+    report["loss"] = float(np.mean(losses)) if losses else float("nan")
+    report["n_videos"] = int(len(labels))
+    return report
+
+
+def _plot_batch_attention(batch, attns, heads, num_frames, num_patches):
+    from mintime_tpu.utils.attention_viz import aggregate_attentions, save_attention_plots
+
+    tpi = batch.get("tokens_per_identity")
+    vids = batch.get("video_id")
+    if not tpi or not vids:
+        return
+    for b, (per_id, vid) in enumerate(zip(tpi, vids)):
+        names = [name for name, _ in per_id]
+        frames_per_identity = [int(tokens / num_patches) for _, tokens in per_id]
+        batch_attns = [np.asarray(a)[b * heads : (b + 1) * heads] for a in attns]
+        agg, _ = aggregate_attentions(
+            batch_attns, heads, num_frames, frames_per_identity
+        )
+        save_attention_plots(agg, names, frames_per_identity, num_frames, vid)
+
+
+def main(argv=None):
+    import jax.numpy as jnp
+
+    p = argparse.ArgumentParser("mintime-tpu evaluate (test.py parity)")
+    p.add_argument("--config", default="configs/size_invariant_timesformer.yaml")
+    p.add_argument("--model_weights", required=True, help="orbax dir or torch state_dict")
+    p.add_argument("--extractor_weights", default=None)
+    p.add_argument("--test_list_file", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--model", type=int, default=1, help="0 baseline | 1 timesformer")
+    p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
+    p.add_argument("--only_multiidentity", action="store_true", default=False)
+    p.add_argument("--save_attentions", action="store_true", default=False)
+    p.add_argument("--identities_ordering", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--workers", type=int, default=4)
+    opt = p.parse_args(argv)
+
+    cfg = load_config(opt.config)
+    from mintime_tpu.data.loader import DataLoader
+    from mintime_tpu.data.manifest import load_manifest
+    from mintime_tpu.data.dataset import DeepfakesDataset
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+    from mintime_tpu.utils.checkpoint import load_model_variables
+
+    man = load_manifest(opt.test_list_file, data_path=opt.data_path)
+    videos, labels, mc = man.videos, man.labels, man.multiclass
+    if opt.only_multiidentity:
+        keep = filter_multi_identity(videos, opt.data_path)
+        videos = [videos[i] for i in keep]
+        labels = [labels[i] for i in keep]
+        mc = [mc[i] for i in keep]
+
+    backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
+    head = "baseline" if opt.model == 0 else "timesformer"
+    model = MintimeVideoClassifier(
+        cfg.model,
+        backbone=backbone,
+        head=head,
+        require_attention=opt.save_attentions,
+        dtype=jnp.bfloat16,
+    )
+    variables = load_model_variables(
+        model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights
+    )
+
+    ds = DeepfakesDataset(
+        videos,
+        labels,
+        data_path=opt.data_path,
+        image_size=cfg.model.image_size,
+        num_frames=cfg.model.num_frames,
+        num_patches=cfg.model.num_patches,
+        max_identities=cfg.model.max_identities,
+        mode="test",
+        identities_ordering=opt.identities_ordering,
+        multiclass_labels=mc,
+    )
+    loader = DataLoader(
+        ds,
+        batch_size=opt.batch_size or cfg.test.bs,
+        shuffle=False,
+        num_workers=opt.workers,
+    )
+    report = evaluate(
+        model,
+        variables,
+        loader,
+        save_attention_plots=opt.save_attentions,
+        heads=cfg.model.heads,
+        num_frames=cfg.model.num_frames,
+        num_patches=cfg.model.num_patches,
+    )
+    print(json.dumps(report, indent=2))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Face-detection driver: videos → per-video boxes JSON.
+
+Same contract as the reference (``preprocessing/detect_faces.py:18-68``):
+every frame is decoded and downscaled 2x (face_detector.py:78), the MTCNN
+cascade runs per frame, and a ``<video>.json`` of
+``{frame_idx: [[x1,y1,x2,y2], ...] | null}`` (half-resolution coordinates)
+is written next to the dataset. Videos with an existing JSON are skipped
+(idempotence, detect_faces.py:36-37); videos where no frame had a face are
+reported as missed (detect_faces.py:59-68).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+
+def decode_half_res(video_path: str) -> tuple[list[np.ndarray], int]:
+    """Decode all frames at half resolution (face_detector.py:59-83)."""
+    import cv2
+
+    capture = cv2.VideoCapture(video_path)
+    fps = int(capture.get(cv2.CAP_PROP_FPS)) or 30
+    frames = []
+    while True:
+        ok, frame = capture.read()
+        if not ok:
+            break
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        frame = cv2.resize(frame, (frame.shape[1] // 2, frame.shape[0] // 2))
+        frames.append(frame)
+    capture.release()
+    return frames, fps
+
+
+def detect_video(video_path: str, detector, every_n: int = 1) -> dict:
+    """Run the cascade over (a stride of) the frames → boxes dict."""
+    frames, _ = decode_half_res(video_path)
+    result: dict[str, list | None] = {}
+    for idx in range(0, len(frames), every_n):
+        boxes = detector.detect(frames[idx])
+        result[str(idx)] = boxes[:, :4].tolist() if len(boxes) else None
+    return result
+
+
+def process_videos(
+    videos: Sequence[str],
+    video_root: str,
+    output_root: str,
+    detector,
+    every_n: int = 1,
+) -> list[str]:
+    """Detect faces for each video, writing ``<output_root>/<rel>.json``.
+    Returns the list of videos with zero detections (the miss report)."""
+    missed = []
+    for video in videos:
+        rel = os.path.relpath(video, video_root)
+        out_path = os.path.join(output_root, os.path.splitext(rel)[0] + ".json")
+        if os.path.exists(out_path):
+            continue
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        boxes = detect_video(video, detector, every_n)
+        if not any(v for v in boxes.values()):
+            missed.append(video)
+        with open(out_path, "w") as f:
+            json.dump(boxes, f)
+    return missed
+
+
+def main(argv=None):
+    import argparse
+    import glob
+
+    from mintime_tpu.preprocessing.mtcnn import MTCNNDetector, mtcnn_params_from_torch
+
+    p = argparse.ArgumentParser("mintime-tpu detect_faces")
+    p.add_argument("--video_path", required=True)
+    p.add_argument("--output_path", required=True)
+    p.add_argument("--mtcnn_weights", default=None,
+                   help="dir with pnet.pt/rnet.pt/onet.pt (facenet-pytorch)")
+    p.add_argument("--every_n", type=int, default=1)
+    opt = p.parse_args(argv)
+
+    if opt.mtcnn_weights:
+        import torch
+
+        variables = mtcnn_params_from_torch(
+            torch.load(os.path.join(opt.mtcnn_weights, "pnet.pt"), map_location="cpu"),
+            torch.load(os.path.join(opt.mtcnn_weights, "rnet.pt"), map_location="cpu"),
+            torch.load(os.path.join(opt.mtcnn_weights, "onet.pt"), map_location="cpu"),
+        )
+    else:
+        print("WARNING: no --mtcnn_weights; using random cascade (structural run)")
+        variables = MTCNNDetector.init_variables()
+    detector = MTCNNDetector(variables)
+
+    videos = sorted(glob.glob(os.path.join(opt.video_path, "**", "*.mp4"), recursive=True))
+    missed = process_videos(videos, opt.video_path, opt.output_path, detector, opt.every_n)
+    print(f"processed {len(videos)} videos; {len(missed)} with no detections")
+    for m in missed:
+        print("missed:", m)
+
+
+if __name__ == "__main__":
+    main()

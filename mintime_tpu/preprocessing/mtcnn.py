@@ -1,0 +1,338 @@
+"""MTCNN face-detection cascade (P-Net / R-Net / O-Net) in Flax.
+
+TPU-native replacement for the reference's ``facenet_pytorch.MTCNN`` wrapper
+(``preprocessing/face_detector.py:42-52``, thresholds [.85, .95, .95],
+margin 0): the three convnets are jitted JAX programs batched over frames
+and candidate boxes; the image pyramid, NMS, and box bookkeeping run on the
+host (tiny N per frame). Candidate counts are padded to power-of-two
+buckets so every R-Net/O-Net call hits a cached XLA executable.
+
+Weight layout matches facenet-pytorch's ``PNet/RNet/ONet`` state_dicts
+(``pnet.pt`` etc.); load with :func:`mtcnn_params_from_torch`. Face crops
+are normalized ``(x - 127.5) * 0.0078125`` exactly like the reference stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PReLU(nn.Module):
+    """Channelwise PReLU (torch nn.PReLU(num_parameters=C))."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25), (self.channels,))
+        return jnp.where(x >= 0, x, alpha * x)
+
+
+def _pool_ceil(x, window, stride):
+    """MaxPool with ceil_mode=True semantics (torch MTCNN uses ceil)."""
+    h, w = x.shape[1:3]
+    ph = max(0, (-(h - window) % stride)) if h > window else max(0, window - h)
+    pw = max(0, (-(w - window) % stride)) if w > window else max(0, window - w)
+    return nn.max_pool(
+        x,
+        (window, window),
+        strides=(stride, stride),
+        padding=((0, ph), (0, pw)),
+    )
+
+
+class PNet(nn.Module):
+    """Proposal net: fully-convolutional 12x12 cell scorer."""
+
+    @nn.compact
+    def __call__(self, x):  # (N, H, W, 3)
+        x = nn.Conv(10, (3, 3), padding="VALID", name="conv1")(x)
+        x = PReLU(10, name="prelu1")(x)
+        x = _pool_ceil(x, 2, 2)
+        x = nn.Conv(16, (3, 3), padding="VALID", name="conv2")(x)
+        x = PReLU(16, name="prelu2")(x)
+        x = nn.Conv(32, (3, 3), padding="VALID", name="conv3")(x)
+        x = PReLU(32, name="prelu3")(x)
+        prob = jax.nn.softmax(nn.Conv(2, (1, 1), name="conv4_1")(x), axis=-1)
+        reg = nn.Conv(4, (1, 1), name="conv4_2")(x)
+        return prob, reg
+
+
+class RNet(nn.Module):
+    """Refine net over 24x24 crops."""
+
+    @nn.compact
+    def __call__(self, x):  # (N, 24, 24, 3)
+        x = nn.Conv(28, (3, 3), padding="VALID", name="conv1")(x)
+        x = PReLU(28, name="prelu1")(x)
+        x = _pool_ceil(x, 3, 2)
+        x = nn.Conv(48, (3, 3), padding="VALID", name="conv2")(x)
+        x = PReLU(48, name="prelu2")(x)
+        x = _pool_ceil(x, 3, 2)
+        x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
+        x = PReLU(64, name="prelu3")(x)
+        # facenet-pytorch flattens permute(0,3,2,1) of NCHW = (N, W, H, C)
+        x = x.transpose(0, 2, 1, 3).reshape(x.shape[0], -1)
+        x = nn.Dense(128, name="dense4")(x)
+        x = PReLU(128, name="prelu4")(x)
+        prob = jax.nn.softmax(nn.Dense(2, name="dense5_1")(x), axis=-1)
+        reg = nn.Dense(4, name="dense5_2")(x)
+        return prob, reg
+
+
+class ONet(nn.Module):
+    """Output net over 48x48 crops; also predicts 5 landmarks."""
+
+    @nn.compact
+    def __call__(self, x):  # (N, 48, 48, 3)
+        x = nn.Conv(32, (3, 3), padding="VALID", name="conv1")(x)
+        x = PReLU(32, name="prelu1")(x)
+        x = _pool_ceil(x, 3, 2)
+        x = nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x)
+        x = PReLU(64, name="prelu2")(x)
+        x = _pool_ceil(x, 3, 2)
+        x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
+        x = PReLU(64, name="prelu3")(x)
+        x = _pool_ceil(x, 2, 2)
+        x = nn.Conv(128, (2, 2), padding="VALID", name="conv4")(x)
+        x = PReLU(128, name="prelu4")(x)
+        # facenet-pytorch flatten order (N, W, H, C)
+        x = x.transpose(0, 2, 1, 3).reshape(x.shape[0], -1)
+        x = nn.Dense(256, name="dense5")(x)
+        x = PReLU(256, name="prelu5")(x)
+        prob = jax.nn.softmax(nn.Dense(2, name="dense6_1")(x), axis=-1)
+        reg = nn.Dense(4, name="dense6_2")(x)
+        landmarks = nn.Dense(10, name="dense6_3")(x)
+        return prob, reg, landmarks
+
+
+# --------------------------------------------------------------- host helpers
+def nms(boxes: np.ndarray, scores: np.ndarray, threshold: float, method: str = "union"):
+    """Greedy NMS; ``method='min'`` divides by min-area (O-Net stage)."""
+    if len(boxes) == 0:
+        return np.zeros(0, dtype=int)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        if method == "min":
+            o = inter / np.minimum(area[i], area[order[1:]])
+        else:
+            o = inter / (area[i] + area[order[1:]] - inter)
+        order = order[1:][o <= threshold]
+    return np.asarray(keep, dtype=int)
+
+
+def rerec(boxes: np.ndarray) -> np.ndarray:
+    """Convert boxes to squares around their centers."""
+    out = boxes.copy()
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    side = np.maximum(w, h)
+    out[:, 0] = boxes[:, 0] + w * 0.5 - side * 0.5
+    out[:, 1] = boxes[:, 1] + h * 0.5 - side * 0.5
+    out[:, 2] = out[:, 0] + side
+    out[:, 3] = out[:, 1] + side
+    return out
+
+
+def apply_regression(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
+    w = boxes[:, 2] - boxes[:, 0] + 1
+    h = boxes[:, 3] - boxes[:, 1] + 1
+    out = boxes.copy()
+    out[:, 0] += reg[:, 0] * w
+    out[:, 1] += reg[:, 1] * h
+    out[:, 2] += reg[:, 2] * w
+    out[:, 3] += reg[:, 3] * h
+    return out
+
+
+def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int) -> np.ndarray:
+    """Crop (clipped, zero-padded) boxes and resize to (size, size)."""
+    import cv2
+
+    H, W = img.shape[:2]
+    out = np.zeros((len(boxes), size, size, 3), np.float32)
+    for i, (x1, y1, x2, y2) in enumerate(boxes[:, :4].astype(int)):
+        x1c, y1c = max(x1, 0), max(y1, 0)
+        x2c, y2c = min(x2 + 1, W), min(y2 + 1, H)
+        if x2c <= x1c or y2c <= y1c:
+            continue
+        patch = np.zeros((y2 - y1 + 1, x2 - x1 + 1, 3), img.dtype)
+        patch[y1c - y1 : y2c - y1, x1c - x1 : x2c - x1] = img[y1c:y2c, x1c:x2c]
+        out[i] = cv2.resize(
+            patch.astype(np.float32), (size, size), interpolation=cv2.INTER_AREA
+        )
+    return out
+
+
+def _bucket(n: int, minimum: int = 8) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@dataclass
+class MTCNNDetector:
+    """Full 3-stage cascade. ``variables`` maps net name → flax variables."""
+
+    variables: dict
+    thresholds: tuple = (0.85, 0.95, 0.95)  # face_detector.py:42-46
+    min_face_size: int = 20
+    factor: float = 0.709
+
+    def __post_init__(self):
+        self._pnet = jax.jit(partial(PNet().apply))
+        self._rnet = jax.jit(partial(RNet().apply))
+        self._onet = jax.jit(partial(ONet().apply))
+
+    @staticmethod
+    def init_variables(rng=None) -> dict:
+        """Random-init variables (for tests / structural runs)."""
+        rng = rng if rng is not None else jax.random.key(0)
+        k1, k2, k3 = jax.random.split(rng, 3)
+        return {
+            "pnet": PNet().init(k1, jnp.zeros((1, 12, 12, 3))),
+            "rnet": RNet().init(k2, jnp.zeros((1, 24, 24, 3))),
+            "onet": ONet().init(k3, jnp.zeros((1, 48, 48, 3))),
+        }
+
+    def detect(self, img: np.ndarray) -> np.ndarray:
+        """Detect faces in one RGB uint8 image → ``(N, 5)`` [x1,y1,x2,y2,score]."""
+        import cv2
+
+        img = np.asarray(img)
+        H, W = img.shape[:2]
+        m = 12.0 / self.min_face_size
+        min_dim = min(H, W) * m
+
+        # stage 1: proposal pyramid
+        total = []
+        scale = m
+        while min(H, W) * scale >= 12:
+            sh, sw = int(np.ceil(H * scale)), int(np.ceil(W * scale))
+            scaled = cv2.resize(img.astype(np.float32), (sw, sh), interpolation=cv2.INTER_AREA)
+            x = (scaled - 127.5) * 0.0078125
+            prob, reg = self._pnet(self.variables["pnet"], x[None])
+            prob = np.asarray(prob)[0, :, :, 1]
+            reg = np.asarray(reg)[0]
+            ys, xs = np.where(prob >= self.thresholds[0])
+            if len(ys):
+                stride, cell = 2, 12
+                score = prob[ys, xs]
+                q1 = np.stack([xs * stride, ys * stride], axis=1) / scale
+                q2 = (np.stack([xs * stride, ys * stride], axis=1) + cell) / scale
+                boxes = np.concatenate([q1, q2, score[:, None]], axis=1)
+                boxreg = reg[ys, xs]
+                keep = nms(boxes[:, :4], boxes[:, 4], 0.5)
+                boxes, boxreg = boxes[keep], boxreg[keep]
+                boxes[:, :4] = apply_regression(boxes[:, :4], boxreg)[:, :4]
+                total.append(boxes)
+            scale *= self.factor
+        if not total:
+            return np.zeros((0, 5))
+        boxes = np.concatenate(total)
+        keep = nms(boxes[:, :4], boxes[:, 4], 0.7)
+        boxes = boxes[keep]
+        boxes[:, :4] = rerec(boxes[:, :4])[:, :4]
+        boxes[:, :4] = np.round(boxes[:, :4])
+
+        # stage 2: refine
+        boxes = self._run_stage(img, boxes, 24, self._rnet, "rnet", self.thresholds[1])
+        if len(boxes) == 0:
+            return boxes
+        keep = nms(boxes[:, :4], boxes[:, 4], 0.7)
+        boxes = boxes[keep]
+        boxes[:, :4] = rerec(boxes[:, :4])[:, :4]
+        boxes[:, :4] = np.round(boxes[:, :4])
+
+        # stage 3: output
+        boxes = self._run_stage(img, boxes, 48, self._onet, "onet", self.thresholds[2])
+        if len(boxes) == 0:
+            return boxes
+        keep = nms(boxes[:, :4], boxes[:, 4], 0.7, method="min")
+        return boxes[keep]
+
+    def _run_stage(self, img, boxes, size, net, name, threshold):
+        if len(boxes) == 0:
+            return np.zeros((0, 5))
+        crops = _crop_resize(img, boxes, size)
+        # pad candidate count to a bucket so the jit cache stays warm
+        n = len(crops)
+        b = _bucket(n)
+        if b > n:
+            crops = np.concatenate([crops, np.zeros((b - n,) + crops.shape[1:], np.float32)])
+        x = (crops - 127.5) * 0.0078125
+        out = net(self.variables[name], x)
+        prob = np.asarray(out[0])[:n, 1]
+        reg = np.asarray(out[1])[:n]
+        keep = prob >= threshold
+        if not keep.any():
+            return np.zeros((0, 5))
+        new = boxes[keep].copy()
+        new[:, 4] = prob[keep]
+        new[:, :4] = apply_regression(new[:, :4], reg[keep])[:, :4]
+        return new
+
+
+def mtcnn_params_from_torch(pnet_sd, rnet_sd, onet_sd) -> dict:
+    """Convert facenet-pytorch P/R/O-Net state_dicts to our variables."""
+    from mintime_tpu.utils.torch_convert import _np
+
+    def conv(sd, name):
+        return {
+            "kernel": _np(sd[f"{name}.weight"]).transpose(2, 3, 1, 0),
+            "bias": _np(sd[f"{name}.bias"]),
+        }
+
+    def dense(sd, name):
+        return {"kernel": _np(sd[f"{name}.weight"]).T, "bias": _np(sd[f"{name}.bias"])}
+
+    def prelu(sd, name):
+        return {"alpha": _np(sd[f"{name}.weight"]).reshape(-1)}
+
+    pnet = {
+        "conv1": conv(pnet_sd, "conv1"), "prelu1": prelu(pnet_sd, "prelu1"),
+        "conv2": conv(pnet_sd, "conv2"), "prelu2": prelu(pnet_sd, "prelu2"),
+        "conv3": conv(pnet_sd, "conv3"), "prelu3": prelu(pnet_sd, "prelu3"),
+        "conv4_1": conv(pnet_sd, "conv4_1"), "conv4_2": conv(pnet_sd, "conv4_2"),
+    }
+    rnet = {
+        "conv1": conv(rnet_sd, "conv1"), "prelu1": prelu(rnet_sd, "prelu1"),
+        "conv2": conv(rnet_sd, "conv2"), "prelu2": prelu(rnet_sd, "prelu2"),
+        "conv3": conv(rnet_sd, "conv3"), "prelu3": prelu(rnet_sd, "prelu3"),
+        "dense4": dense(rnet_sd, "dense4"), "prelu4": prelu(rnet_sd, "prelu4"),
+        "dense5_1": dense(rnet_sd, "dense5_1"), "dense5_2": dense(rnet_sd, "dense5_2"),
+    }
+    onet = {
+        "conv1": conv(onet_sd, "conv1"), "prelu1": prelu(onet_sd, "prelu1"),
+        "conv2": conv(onet_sd, "conv2"), "prelu2": prelu(onet_sd, "prelu2"),
+        "conv3": conv(onet_sd, "conv3"), "prelu3": prelu(onet_sd, "prelu3"),
+        "conv4": conv(onet_sd, "conv4"), "prelu4": prelu(onet_sd, "prelu4"),
+        "dense5": dense(onet_sd, "dense5"), "prelu5": prelu(onet_sd, "prelu5"),
+        "dense6_1": dense(onet_sd, "dense6_1"), "dense6_2": dense(onet_sd, "dense6_2"),
+        "dense6_3": dense(onet_sd, "dense6_3"),
+    }
+    return {
+        "pnet": {"params": pnet},
+        "rnet": {"params": rnet},
+        "onet": {"params": onet},
+    }

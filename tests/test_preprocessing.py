@@ -1,0 +1,115 @@
+"""Preprocessing tests: MTCNN cascade structure, crop geometry, clustering."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mintime_tpu.preprocessing.cluster_faces import connected_components
+from mintime_tpu.preprocessing.extract_crops import pick_detection_frame, square_crop
+from mintime_tpu.preprocessing.mtcnn import (
+    MTCNNDetector,
+    apply_regression,
+    nms,
+    rerec,
+)
+
+
+class TestNMS:
+    def test_keeps_non_overlapping(self):
+        boxes = np.array([[0, 0, 10, 10], [100, 100, 110, 110]], float)
+        keep = nms(boxes, np.array([0.9, 0.8]), 0.5)
+        assert sorted(keep.tolist()) == [0, 1]
+
+    def test_suppresses_duplicates(self):
+        boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], float)
+        keep = nms(boxes, np.array([0.9, 0.8]), 0.5)
+        assert keep.tolist() == [0]
+
+    def test_rerec_squares(self):
+        sq = rerec(np.array([[0.0, 0.0, 10.0, 20.0]]))
+        assert sq[0, 2] - sq[0, 0] == sq[0, 3] - sq[0, 1]
+
+    def test_regression_shifts(self):
+        out = apply_regression(
+            np.array([[0.0, 0.0, 9.0, 9.0]]), np.array([[0.1, 0.1, -0.1, -0.1]])
+        )
+        np.testing.assert_allclose(out[0], [1.0, 1.0, 8.0, 8.0])
+
+
+@pytest.mark.slow
+class TestMTCNNStructure:
+    def test_cascade_runs_on_synthetic_image(self):
+        det = MTCNNDetector(MTCNNDetector.init_variables())
+        img = (np.random.default_rng(0).random((80, 100, 3)) * 255).astype(np.uint8)
+        boxes = det.detect(img)
+        assert boxes.ndim == 2 and boxes.shape[1] in (0, 5)
+
+
+class TestCropGeometry:
+    def test_square_output(self):
+        frame = (np.arange(400 * 600 * 3) % 255).astype(np.uint8).reshape(400, 600, 3)
+        crop = square_crop(frame, [50, 40, 90, 100])  # half-res box
+        h, w = crop.shape[:2]
+        assert abs(h - w) <= 1  # reference's squaring leaves ±1 px
+        # box scaled x2: 100..180 x, 80..200 y → crop must include the face
+        assert h > 100
+
+    def test_pick_detection_frame(self):
+        boxes = {"0": None, "3": [[1, 2, 3, 4]], "40": [[1, 2, 3, 4]]}
+        assert pick_detection_frame(boxes, 0, 30) == 3
+        assert pick_detection_frame(boxes, 30, 30) == 40
+        assert pick_detection_frame({"0": [[1, 2, 3, 4]]}, 0, 30) is None
+
+
+class TestClustering:
+    def test_connected_components(self):
+        # 4 crops: {0,1} similar, {2,3} similar, no cross edges
+        sims = np.array(
+            [
+                [1.0, 0.9, 0.1, 0.1],
+                [0.9, 1.0, 0.1, 0.1],
+                [0.1, 0.1, 1.0, 0.8],
+                [0.1, 0.1, 0.8, 1.0],
+            ]
+        )
+        comps = connected_components(sims, 0.45)
+        assert sorted(map(sorted, comps)) == [[0, 1], [2, 3]]
+
+    def test_isolated_crops_discarded(self):
+        sims = np.eye(3)
+        assert connected_components(sims, 0.45) == []
+
+    def test_cluster_video_dir(self, tmp_path):
+        import cv2
+
+        from mintime_tpu.preprocessing.cluster_faces import FaceEmbedder, cluster_video_dir
+
+        vdir = tmp_path / "vid"
+        vdir.mkdir()
+        rng = np.random.default_rng(0)
+        # two distinct "identities": dark crops and bright crops
+        for i, base in enumerate([20, 20, 230, 230]):
+            img = np.full((32, 32, 3), base, np.uint8) + rng.integers(
+                0, 10, (32, 32, 3), dtype=np.uint8
+            )
+            cv2.imwrite(str(vdir / f"{i * 30}_0.png"), img)
+
+        class FakeEmbedder:
+            def __call__(self, crops):
+                # embedding = normalized mean-intensity indicator
+                out = []
+                for c in crops:
+                    v = np.zeros(4)
+                    v[0 if c.mean() < 128 else 1] = 1.0
+                    out.append(v)
+                return np.stack(out)
+
+        assignment = cluster_video_dir(str(vdir), FakeEmbedder(), 0.45)
+        assert len(assignment) == 4
+        ids = set(assignment.values())
+        assert len(ids) == 2
+        # files were moved into identity folders
+        subdirs = sorted(d for d in os.listdir(vdir) if (vdir / d).is_dir())
+        assert subdirs == ["0", "1"]
