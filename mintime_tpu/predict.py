@@ -1,0 +1,342 @@
+"""End-to-end single-video inference — the public "product" API.
+
+Parity with the reference ``predict.py`` (:37-176 detection/crops/cluster,
+:183-352 assembly, :355-417 model, :432-479 annotated output), but UNIFIED:
+the reference duplicates the sequence-assembly logic across
+``deepfakes_dataset.py``, ``predict.py`` and the drivers; here every stage
+reuses the same components (assembler, crop geometry, clustering,
+classifier), and all device compute — backbone + TimeSformer with attention
+output — is one jitted XLA program.
+
+Pipeline: decode(half-res) → MTCNN cascade → square crops (1/sec) →
+FaceNet embeddings → connected-components identities → adaptive sequence
+assembly → classifier forward (+ CLS attentions) → sigmoid probability,
+per-identity attention, optional annotated ``.avi``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import numpy as np
+
+from mintime_tpu.config import MintimeConfig
+from mintime_tpu.data.assembler import IdentityFaces, build_sequence_plan, size_bucket
+from mintime_tpu.data.augment import create_val_transform
+from mintime_tpu.preprocessing.extract_crops import pick_detection_frame, square_crop
+from mintime_tpu.utils.attention_viz import aggregate_attentions, draw_border
+
+
+@dataclass
+class PredictionResult:
+    probability: float  # sigmoid fake-probability
+    identity_attentions: list[float]
+    aggregated_attentions: list[np.ndarray]
+    identities: dict  # identity index → list[(frame_idx, face_idx, crop, bbox)]
+    frames_per_identity: list[int]
+    plan: Any = None
+
+
+def detect_video_faces(video_path: str, detector, every_n: int = 1) -> tuple[dict, int, tuple]:
+    """Half-res detection over all frames (predict.py:37-59). Returns
+    (boxes dict, fps, (width, height)) with half-res coordinates."""
+    from mintime_tpu.preprocessing.detect_faces import decode_half_res
+
+    frames, fps = decode_half_res(video_path)
+    if not frames:
+        raise ValueError(f"could not decode {video_path}")
+    boxes = {}
+    for idx in range(0, len(frames), every_n):
+        det = detector.detect(frames[idx])
+        boxes[str(idx)] = det[:, :4].tolist() if len(det) else None
+    if not any(v for v in boxes.values()):
+        raise ValueError("No faces found.")  # predict.py:55-58
+    h, w = frames[0].shape[:2]
+    return boxes, fps, (w * 2, h * 2)
+
+
+def extract_video_crops(video_path: str, boxes: dict, fps: int):
+    """1-crop/sec square crops + their (half-res) boxes (predict.py:61-142)."""
+    import cv2
+
+    capture = cv2.VideoCapture(video_path)
+    frames = []
+    while True:
+        ok, frame = capture.read()
+        if not ok:
+            break
+        frames.append(frame)
+    capture.release()
+    crops = []  # (frame_idx, face_idx, crop_bgr, bbox_half_res)
+    for i in range(0, len(frames), max(fps, 1)):
+        det = pick_detection_frame(boxes, i, max(fps, 1))
+        if det is None:
+            continue
+        for j, bbox in enumerate(boxes[str(det)] or []):
+            crop = square_crop(frames[i], bbox)
+            if crop.size:
+                crops.append((i, j, crop, bbox))
+    return crops
+
+
+def cluster_crops(crops, embedder, threshold: float = 0.45):
+    """In-memory identity clustering (predict.py:144-176)."""
+    from mintime_tpu.preprocessing.cluster_faces import connected_components
+
+    if not crops:
+        return {}, []
+    embeddings = embedder([c[2] for c in crops])
+    sims = embeddings @ embeddings.T
+    components = connected_components(sims, threshold)
+    identities = {k: [crops[i] for i in comp] for k, comp in enumerate(components)}
+    clustered = {i for comp in components for i in comp}
+    discarded = [crops[i] for i in range(len(crops)) if i not in clustered]
+    if not identities:  # no clusters: everything becomes identity 0
+        identities = {0: list(crops)}
+        discarded = []
+    return identities, discarded
+
+
+def assemble_inputs(identities: dict, video_dims, cfg: MintimeConfig):
+    """Build the fixed-shape model inputs from in-memory identity crops
+    (predict.py:183-352 path, via the shared assembler)."""
+    m = cfg.model
+    infos, crop_store = [], {}
+    for key, items in identities.items():
+        items = sorted(items, key=lambda t: (t[0], t[1]))
+        infos.append(
+            IdentityFaces(
+                key=str(key),
+                frames=[t[0] for t in items],
+                mean_side=float(np.mean([t[2].shape[0] for t in items])),
+            )
+        )
+        crop_store[str(key)] = items
+    plan = build_sequence_plan(
+        infos,
+        num_frames=m.num_frames,
+        num_patches=m.num_patches,
+        max_identities=m.max_identities,
+        ordering=0,
+        parity=1,  # predict.py always uses the linspace(0, n-2) branch
+    )
+
+    transform = create_val_transform(m.image_size)
+    rng = np.random.default_rng(0)
+    frames = []
+    size_embeddings = np.zeros(m.num_frames, np.int32)
+    vw, vh = video_dims
+    for slot in range(m.num_frames):
+        fi = plan.face_index[slot]
+        if fi < 0:
+            frames.append(np.zeros((m.image_size, m.image_size, 3), np.uint8))
+            continue
+        key = plan.identity_keys[plan.identity_index[slot]]
+        crop = crop_store[key][fi][2]
+        size_embeddings[slot] = size_bucket(crop.shape[0], crop.shape[1], vh, vw)
+        frames.append(crop)
+    frames = transform(frames, rng)
+    return {
+        "frames": np.stack(frames).astype(np.float32)[None],
+        "mask": plan.mask[None],
+        "identities_mask": plan.identities_mask[None],
+        "size_embedding": size_embeddings[None],
+        "positions": plan.positions[None],
+    }, plan, crop_store
+
+
+def predict_video(
+    video_path: str,
+    model,
+    variables,
+    cfg: MintimeConfig,
+    detector,
+    embedder,
+    similarity_threshold: float = 0.45,
+    every_n: int = 1,
+) -> PredictionResult:
+    """The full predict() pipeline (predict.py:355-417)."""
+    import jax
+
+    boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
+    crops = extract_video_crops(video_path, boxes, fps)
+    identities, discarded = cluster_crops(crops, embedder, similarity_threshold)
+    batch, plan, crop_store = assemble_inputs(identities, video_dims, cfg)
+
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    logits, attns = fwd(
+        variables,
+        batch["frames"],
+        batch["mask"],
+        batch["identities_mask"],
+        batch["size_embedding"],
+        batch["positions"],
+    )
+    prob = float(1.0 / (1.0 + np.exp(-float(np.asarray(logits)[0, 0]))))
+
+    frames_per_identity = [
+        int(tokens / cfg.model.num_patches) for _, tokens in plan.tokens_per_identity
+    ]
+    agg, identity_attentions = aggregate_attentions(
+        [np.asarray(a) for a in attns],
+        cfg.model.heads,
+        cfg.model.num_frames,
+        frames_per_identity,
+    )
+    ordered_identities = {
+        key: crop_store[key] for key in plan.identity_keys
+    }
+    return PredictionResult(
+        probability=prob,
+        identity_attentions=identity_attentions,
+        aggregated_attentions=agg,
+        identities=ordered_identities,
+        frames_per_identity=frames_per_identity,
+    )
+
+
+def generate_output_video(
+    video_path: str, result: PredictionResult, output_dir: str = "examples/preds"
+) -> str:
+    """Annotated .avi with per-identity red/green rounded boxes
+    (predict.py:432-479)."""
+    import cv2
+
+    # frame → [per-identity bbox] map from the clustered crops
+    identities_bboxes: dict[int, list] = {}
+    for identity_index, items in enumerate(result.identities.values()):
+        for frame_idx, _, _, bbox in items:
+            identities_bboxes.setdefault(frame_idx, [None] * len(result.identities))
+            identities_bboxes[frame_idx][identity_index] = bbox
+    available = sorted(identities_bboxes)
+
+    cap = cv2.VideoCapture(video_path)
+    width, height = int(cap.get(3)), int(cap.get(4))
+    fps = int(cap.get(5)) or 30
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(
+        output_dir, os.path.basename(video_path).replace(".mp4", ".avi")
+    )
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"XVID"), fps, (width, height)
+    )
+    pred = result.probability
+    frame_index = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        nearest = min(available, key=lambda x: abs(x - frame_index))
+        if nearest - frame_index <= fps:
+            for identity_index, bbox in enumerate(identities_bboxes[nearest]):
+                if bbox is None:
+                    continue
+                xmin, ymin, xmax, ymax = [int(b * 2) for b in bbox]
+                if pred > 0.5:
+                    red = 255 * result.identity_attentions[identity_index]
+                    green = 255 - red
+                    text = (
+                        f"Fake {round(pred * 100, 2)}%" if red > green else "Pristine"
+                    )
+                else:
+                    green = int(255 * (1 - pred))
+                    red = 255 - green
+                    text = f"Pristine {round((1 - pred) * 100, 2)}%"
+                color = (0, int(green), int(red))
+                frame = draw_border(frame, (xmin, ymin), (xmax, ymax), color, 2, 10, 20)
+                cv2.putText(
+                    frame, text, (xmin, ymin - 10),
+                    cv2.FONT_HERSHEY_SIMPLEX, 0.9, color, 2,
+                )
+        writer.write(frame)
+        frame_index += 1
+    writer.release()
+    cap.release()
+    return out_path
+
+
+def main(argv=None):
+    import argparse
+
+    import jax.numpy as jnp
+
+    from mintime_tpu.config import load_config
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+    from mintime_tpu.preprocessing.cluster_faces import FaceEmbedder
+    from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
+    from mintime_tpu.utils.checkpoint import load_model_variables
+
+    p = argparse.ArgumentParser("mintime-tpu predict (predict.py parity)")
+    p.add_argument("--video_path", required=True)
+    p.add_argument("--config", default="configs/size_invariant_timesformer.yaml")
+    p.add_argument("--model_weights", required=True)
+    p.add_argument("--extractor_weights", default=None)
+    p.add_argument("--extractor_model", type=int, default=0)
+    p.add_argument("--mtcnn_weights", default=None)
+    p.add_argument("--facenet_weights", default=None)
+    p.add_argument("--output_type", type=int, default=0, help="0 prob | 1 video")
+    p.add_argument("--save_attentions", action="store_true")
+    opt = p.parse_args(argv)
+
+    cfg = load_config(opt.config)
+    backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
+    model = MintimeVideoClassifier(
+        cfg.model,
+        backbone=backbone,
+        head="timesformer",
+        require_attention=True,
+        dtype=jnp.bfloat16,
+    )
+    variables = load_model_variables(
+        model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights
+    )
+
+    if opt.mtcnn_weights:
+        import torch
+
+        from mintime_tpu.preprocessing.mtcnn import mtcnn_params_from_torch
+
+        det_vars = mtcnn_params_from_torch(
+            *(
+                torch.load(os.path.join(opt.mtcnn_weights, f), map_location="cpu")
+                for f in ("pnet.pt", "rnet.pt", "onet.pt")
+            )
+        )
+    else:
+        det_vars = MTCNNDetector.init_variables()
+    detector = MTCNNDetector(det_vars)
+
+    if opt.facenet_weights:
+        import torch
+
+        from mintime_tpu.preprocessing.facenet import facenet_params_from_torch
+
+        emb_vars = facenet_params_from_torch(
+            torch.load(opt.facenet_weights, map_location="cpu")
+        )
+    else:
+        emb_vars = FaceEmbedder.init_variables()
+    embedder = FaceEmbedder(emb_vars)
+
+    result = predict_video(opt.video_path, model, variables, cfg, detector, embedder)
+    print(f"fake probability: {result.probability:.4f}")
+    if opt.save_attentions:
+        from mintime_tpu.utils.attention_viz import save_attention_plots
+
+        save_attention_plots(
+            result.aggregated_attentions,
+            list(result.identities.keys()),
+            result.frames_per_identity,
+            cfg.model.num_frames,
+            os.path.basename(opt.video_path),
+        )
+    if opt.output_type == 1:
+        out = generate_output_video(opt.video_path, result)
+        print("annotated video:", out)
+    return result
+
+
+if __name__ == "__main__":
+    main()

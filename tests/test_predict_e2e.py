@@ -1,0 +1,95 @@
+"""End-to-end predict() pipeline test on a synthetic video.
+
+Uses an injected detector/embedder (the pretrained MTCNN/FaceNet weights
+are external artifacts) to exercise decode → detect → crop → cluster →
+assemble → jitted model → attention aggregation → annotated video output.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+
+from mintime_tpu.config import MintimeConfig, ModelConfig
+from mintime_tpu.models.classifier import MintimeVideoClassifier
+from mintime_tpu.predict import generate_output_video, predict_video
+
+SMALL = ModelConfig(
+    image_size=32,
+    num_frames=8,
+    num_patches=1,
+    channels=1280,
+    dim=64,
+    depth=2,
+    heads=2,
+    dim_head=32,
+    max_identities=2,
+)
+
+
+class FakeDetector:
+    """Always finds one face box in the frame center (half-res coords)."""
+
+    def detect(self, frame):
+        h, w = frame.shape[:2]
+        return np.array([[w * 0.25, h * 0.25, w * 0.75, h * 0.75, 0.99]])
+
+
+class FakeEmbedder:
+    def __call__(self, crops):
+        out = np.zeros((len(crops), 8))
+        out[:, 0] = 1.0  # all crops one identity
+        return out
+
+
+@pytest.fixture(scope="module")
+def synthetic_video(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("videos") / "synthetic.mp4")
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48)
+    )
+    rng = np.random.default_rng(0)
+    for i in range(40):  # 4 seconds at 10 fps
+        frame = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        cv2.circle(frame, (32, 24), 10, (200, 150, 120), -1)  # a "face"
+        writer.write(frame)
+    writer.release()
+    assert os.path.getsize(path) > 0
+    return path
+
+
+def test_predict_end_to_end(synthetic_video, tmp_path):
+    cfg = MintimeConfig(model=SMALL)
+    model = MintimeVideoClassifier(
+        SMALL, backbone="efficientnet-b0", head="timesformer", require_attention=True
+    )
+    frames = np.zeros((1, SMALL.num_frames, 32, 32, 3), np.float32)
+    mask = np.ones((1, SMALL.num_frames), bool)
+    id_mask = np.ones((1, SMALL.num_frames, SMALL.num_frames), bool)
+    size_emb = np.ones((1, SMALL.num_frames), np.int32)
+    positions = np.arange(1 + SMALL.num_frames)[None].astype(np.int32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), frames, mask, id_mask, size_emb, positions
+    )
+
+    result = predict_video(
+        synthetic_video,
+        model,
+        variables,
+        cfg,
+        FakeDetector(),
+        FakeEmbedder(),
+    )
+    assert 0.0 <= result.probability <= 1.0
+    assert len(result.identity_attentions) == 1
+    assert len(result.aggregated_attentions) == 3
+    for a in result.aggregated_attentions:
+        np.testing.assert_allclose(np.sum(a), 1.0, rtol=1e-6)
+    assert result.frames_per_identity == [SMALL.num_frames]
+
+    out = generate_output_video(synthetic_video, result, output_dir=str(tmp_path))
+    assert os.path.exists(out) and os.path.getsize(out) > 0
