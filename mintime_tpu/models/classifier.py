@@ -41,6 +41,7 @@ class MintimeVideoClassifier(nn.Module):
     require_attention: bool = False
     freeze_backbone: bool = False
     dtype: Any = None  # compute dtype; bf16 recommended on TPU
+    use_pallas: bool = False  # fused Pallas attention in the TimeSformer head
 
     @nn.compact
     def __call__(
@@ -81,6 +82,7 @@ class MintimeVideoClassifier(nn.Module):
             self.config,
             require_attention=self.require_attention,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="head",
         )(
             feats,

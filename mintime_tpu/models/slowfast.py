@@ -169,6 +169,42 @@ class SlowFastR50(nn.Module):
         return x.astype(jnp.float32)
 
 
+class SlowFastClassifier(nn.Module):
+    """Face-sequence front end for SlowFast (the reference trains SlowFast on
+    the same DeepFakesDataset crop sequences, train.py:143-147 + 335-337):
+    raw 0..255 frames (B, F, H, W, 3) → normalize → uniform temporal
+    upsample to ``num_frames`` → pathway packing → SlowFastR50 logits.
+
+    Keeps the driver-level transform (utils.py:144-186) on device so the
+    whole step is one XLA program. The ``head`` attribute mirrors
+    MintimeVideoClassifier so the shared train step can route inputs.
+    """
+
+    num_classes: int = 1
+    num_frames: int = 32
+    mean: float = 0.45
+    std: float = 0.225
+    dtype: Any = None
+    head: str = "slowfast"
+
+    @nn.compact
+    def __call__(self, frames, train: bool = False):
+        B, F = frames.shape[:2]
+        x = frames.astype(jnp.float32) / 255.0
+        x = (x - self.mean) / self.std
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        idx = jnp.round(jnp.linspace(0, F - 1, self.num_frames)).astype(jnp.int32)
+        fast = jnp.take(x, idx, axis=1)
+        slow_idx = jnp.round(
+            jnp.linspace(0, self.num_frames - 1, self.num_frames // ALPHA)
+        ).astype(jnp.int32)
+        slow = jnp.take(fast, slow_idx, axis=1)
+        return SlowFastR50(self.num_classes, dtype=self.dtype, name="slowfast")(
+            slow, fast, train=train
+        )
+
+
 def uniform_temporal_subsample(frames: np.ndarray, num: int) -> np.ndarray:
     """torchvision UniformTemporalSubsample semantics (utils.py:169)."""
     t = frames.shape[0]

@@ -74,6 +74,7 @@ class DividedAttention(nn.Module):
     dim_head: int
     dropout: float = 0.0
     dtype: Any = None
+    use_pallas: bool = False  # fused Pallas kernel for the grouped attention
 
     @nn.compact
     def __call__(
@@ -107,9 +108,30 @@ class DividedAttention(nn.Module):
             return t  # groups=F, seq=n
 
         q_g, k_g, v_g = (to_groups(t[:, :, 1:]) for t in (q, k, v))
-        mask = frame_mask[:, None] if axis == "time" and frame_mask is not None else None
-        # mask (B, 1, F, F+1) broadcasts over the n groups
-        out_g = grouped_attention_with_cls(q_g, k_g, v_g, k[:, :, :1], v[:, :, :1], mask)
+        if self.use_pallas:
+            from mintime_tpu.ops.pallas_attention import (
+                fused_grouped_attention,
+                mask_to_bias,
+            )
+
+            bias = (
+                mask_to_bias(frame_mask)
+                if axis == "time" and frame_mask is not None
+                else None
+            )
+            out_g = fused_grouped_attention(
+                q_g, k_g, v_g, k[:, :, :1], v[:, :, :1], bias, heads=self.heads
+            ).astype(v_g.dtype)
+        else:
+            mask = (
+                frame_mask[:, None]
+                if axis == "time" and frame_mask is not None
+                else None
+            )
+            # mask (B, 1, F, F+1) broadcasts over the n groups
+            out_g = grouped_attention_with_cls(
+                q_g, k_g, v_g, k[:, :, :1], v[:, :, :1], mask
+            )
 
         if axis == "time":
             out_g = out_g.transpose(0, 1, 3, 2, 4)  # back to (B, H, F, n, d)
@@ -139,6 +161,7 @@ class SizeInvariantTimeSformer(nn.Module):
     config: ModelConfig
     require_attention: bool = False
     dtype: Any = None  # compute dtype for matmuls (softmax always fp32)
+    use_pallas: bool = False  # route grouped attention through the Pallas kernel
 
     @nn.compact
     def __call__(
@@ -198,7 +221,8 @@ class SizeInvariantTimeSformer(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name=f"time_norm_{layer}")(xseq)
             y, time_attn_out = DividedAttention(
                 cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                dtype=self.dtype, name=f"time_attn_{layer}",
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"time_attn_{layer}",
             )(
                 y, axis="time", f=F, n=n, frame_mask=frame_mask, cls_mask=cls_mask,
                 deterministic=deterministic,
@@ -207,7 +231,8 @@ class SizeInvariantTimeSformer(nn.Module):
             y = nn.LayerNorm(epsilon=1e-5, name=f"space_norm_{layer}")(xseq)
             y, space_attn_out = DividedAttention(
                 cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                dtype=self.dtype, name=f"space_attn_{layer}",
+                dtype=self.dtype, use_pallas=self.use_pallas,
+                name=f"space_attn_{layer}",
             )(
                 y, axis="space", f=F, n=n, cls_mask=cls_mask,
                 deterministic=deterministic,

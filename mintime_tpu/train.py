@@ -102,7 +102,7 @@ def make_optimizer(cfg: MintimeConfig, schedule) -> optax.GradientTransformation
 
 
 def model_inputs(batch: Mapping[str, Any], head: str) -> tuple:
-    if head == "baseline":
+    if head in ("baseline", "slowfast"):
         return (batch["frames"],)
     return (
         batch["frames"],

@@ -156,7 +156,8 @@ def main(argv=None):
 
     p = argparse.ArgumentParser("mintime-tpu train (train.py parity)")
     p.add_argument("--config", default="configs/size_invariant_timesformer.yaml")
-    p.add_argument("--model", type=int, default=1, help="0 baseline | 1 timesformer")
+    p.add_argument("--model", type=int, default=1,
+                   help="0 baseline | 1 timesformer | 2 slowfast (train.py:136-148)")
     p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
     p.add_argument("--extractor_weights", default=None)
     p.add_argument("--freeze_backbone", action="store_true", default=False)
@@ -195,12 +196,19 @@ def main(argv=None):
     val_loader = DataLoader(mk(val_man, "val"), cfg.training.val_bs,
                             shuffle=False, num_workers=opt.workers, mesh=mesh)
 
-    backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
-    head = "baseline" if opt.model == 0 else "timesformer"
-    model = MintimeVideoClassifier(
-        cfg.model, backbone=backbone, head=head,
-        freeze_backbone=opt.freeze_backbone, dtype=jnp.bfloat16,
-    )
+    if opt.model == 2:
+        from mintime_tpu.models.slowfast import SlowFastClassifier
+
+        model = SlowFastClassifier(
+            num_classes=cfg.model.num_classes, dtype=jnp.bfloat16
+        )
+    else:
+        backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
+        head = "baseline" if opt.model == 0 else "timesformer"
+        model = MintimeVideoClassifier(
+            cfg.model, backbone=backbone, head=head,
+            freeze_backbone=opt.freeze_backbone, dtype=jnp.bfloat16,
+        )
 
     example = next(iter(DataLoader(mk(val_man, "val"), cfg.training.bs,
                                    shuffle=False, num_workers=1)))
