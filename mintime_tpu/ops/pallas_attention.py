@@ -45,9 +45,12 @@ def _kernel(q_ref, k_ref, v_ref, kc_ref, vc_ref, bias_ref, o_ref):
     logits_tok = jax.lax.dot_general(
         q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
     )
-    # (G, L, 1) token-CLS logits
-    logits_cls = jax.lax.dot_general(
-        q, kc, (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    # (G, L, 1) token-CLS logits as a VPU multiply-reduce — a 3D-vs-2D
+    # dot_general would force a Mosaic-unsupported (G,L,D)->(G*L,D) reshape
+    logits_cls = jnp.sum(
+        q.astype(jnp.float32) * kc[0].astype(jnp.float32)[None, None, :],
+        axis=-1,
+        keepdims=True,
     )
     logits = jnp.concatenate([logits_cls, logits_tok], axis=-1)  # (G, L, 1+L)
     logits = logits + bias[None]
