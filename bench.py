@@ -22,7 +22,14 @@ REFERENCE_PROXY_VIDEOS_PER_SEC = 20.0
 
 
 def main():
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                       ".jax_cache"))
     import jax
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from mintime_tpu.config import load_config
@@ -32,7 +39,8 @@ def main():
     cfg = load_config("configs/size_invariant_timesformer.yaml").model
     cfg = type(cfg)(**{**cfg.__dict__, "channels": 1280})
     model = MintimeVideoClassifier(
-        cfg, backbone="efficientnet-b0", head="timesformer", dtype=jnp.bfloat16
+        cfg, backbone="efficientnet-b0", head="timesformer",
+        dtype=jnp.bfloat16, use_pallas=True,
     )
 
     batch_size = 32
