@@ -55,51 +55,50 @@ class ConvolutionalTimeSformer(nn.Module):
         _, h, w, C = feats.shape
         n = C  # channel tokens
         patch_dim = h * w
-        # 'b f h w c -> b (f c) (h w)'
-        tokens = feats.reshape(B, F, h * w, C).transpose(0, 1, 3, 2).reshape(
-            B, F * C, patch_dim
-        )
-        tokens = nn.Dense(cfg.dim, kernel_init=_INIT, dtype=self.dtype,
-                          name="to_patch_embedding")(tokens)
+        # 'b f h w c -> b f c (h w)' — two-stream token layout (see
+        # timesformer.py): frames × channel-tokens, CLS carried separately
+        tokens = feats.reshape(B, F, h * w, C).transpose(0, 1, 3, 2)
+        x_tok = nn.Dense(cfg.dim, kernel_init=_INIT, dtype=self.dtype,
+                         name="to_patch_embedding")(tokens)  # (B, F, C, dim)
 
         cls_token = self.param("cls_token", _INIT, (1, cfg.dim))
-        xseq = jnp.concatenate(
-            [jnp.broadcast_to(cls_token[None], (B, 1, cfg.dim)).astype(tokens.dtype),
-             tokens],
-            axis=1,
-        )
-        pos_table = nn.Embed(1 + F * C, cfg.dim, embedding_init=_INIT, name="pos_emb")
-        xseq = xseq + pos_table(jnp.arange(1 + F * C))[None]
+        x_cls = jnp.broadcast_to(cls_token[None], (B, 1, cfg.dim)).astype(x_tok.dtype)
+        pos_table = nn.Embed(1 + F * C, cfg.dim, embedding_init=_INIT,
+                             dtype=self.dtype, name="pos_emb")
+        table = pos_table(jnp.arange(1 + F * C))
+        x_cls = x_cls + table[:1][None]
+        x_tok = x_tok + table[1:].reshape(F, C, cfg.dim)[None]
 
         if size_embedding is not None:
             size_table = nn.Embed(
-                1 + NUM_SIZE_BUCKETS, cfg.dim, embedding_init=_INIT, name="size_emb"
+                1 + NUM_SIZE_BUCKETS, cfg.dim, embedding_init=_INIT,
+                dtype=self.dtype, name="size_emb"
             )
-            size_idx = jnp.concatenate(
-                [jnp.zeros((B, 1), jnp.int32),
-                 jnp.repeat(size_embedding.astype(jnp.int32), C, axis=-1)],
-                axis=1,
-            )
-            xseq = xseq + size_table(size_idx)
+            # every channel token of frame f gets frame f's bucket
+            x_tok = x_tok + size_table(size_embedding.astype(jnp.int32))[:, :, None, :]
+            x_cls = x_cls + size_table(jnp.zeros((B, 1), jnp.int32))
 
         for layer in range(cfg.depth):
-            y = nn.LayerNorm(epsilon=1e-5, name=f"time_norm_{layer}")(xseq)
-            y, _ = DividedAttention(
-                cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                dtype=self.dtype, name=f"time_attn_{layer}",
-            )(y, axis="time", f=F, n=n, deterministic=not train)
-            xseq = xseq + y
-            y = nn.LayerNorm(epsilon=1e-5, name=f"space_norm_{layer}")(xseq)
-            y, _ = DividedAttention(
-                cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                dtype=self.dtype, name=f"space_attn_{layer}",
-            )(y, axis="space", f=F, n=n, deterministic=not train)
-            xseq = xseq + y
-            y = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{layer}")(xseq)
-            xseq = xseq + GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype,
-                                name=f"ff_{layer}")(y, deterministic=not train)
+            for ax, kind in (("time", "time"), ("space", "space")):
+                ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  name=f"{kind}_norm_{layer}")
+                y_tok, y_cls, _ = DividedAttention(
+                    cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
+                    dtype=self.dtype, name=f"{kind}_attn_{layer}",
+                )(ln(x_tok), ln(x_cls), axis=ax, deterministic=not train,
+                  need_attn=False)
+                x_tok = x_tok + y_tok
+                x_cls = x_cls + y_cls
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name=f"ff_norm_{layer}")
+            ff = GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype,
+                       name=f"ff_{layer}")
+            x_tok = x_tok + ff(ln(x_tok), deterministic=not train)
+            x_cls = x_cls + ff(ln(x_cls), deterministic=not train)
 
-        cls_out = nn.LayerNorm(epsilon=1e-5, name="out_norm")(xseq[:, 0])
+        cls_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(
+            x_cls[:, 0]
+        )
         return nn.Dense(cfg.num_classes, kernel_init=_INIT, name="out_proj")(
             cls_out
         ).astype(jnp.float32)

@@ -1,12 +1,23 @@
 """Size-Invariant TimeSformer in Flax — the flagship MINTIME model.
 
 Re-designed TPU-first from the reference
-``models/size_invariant_timesformer.py:147-276``: NHWC feature maps in,
-divided space-time attention expressed as batched 5-D einsums (see
-:mod:`mintime_tpu.ops.attention`) instead of the reference's
-``(b*h*n, F, F+1)`` reshape-and-concat dance, fp32 softmax under bf16
-activations, and no ``(B*H*n, F, F+1)``-materialized masks — masks stay at
-``(B, F, F+1)`` / ``(B, 1+F*n)`` and broadcast inside the kernel.
+``models/size_invariant_timesformer.py:147-276``. Three deliberate layout
+decisions drive the performance (all measured on v5e, see PARITY.md):
+
+* **Two residual streams** — patch tokens stay ``(B, F, n, dim)`` and the
+  CLS token ``(B, 1, dim)`` for the whole block stack, instead of the
+  reference's ``(B, 1+F*n, dim)`` concatenated sequence. Divided attention
+  regroups tokens by frame (space) or by patch (time) every layer; with the
+  4-D layout that regrouping needs no slice/reshape/concat traffic, which
+  on TPU would each materialize a full pass over the activation in HBM.
+* **Grouped-layout projections** — q/k/v are projected straight into the
+  ``(B, heads, groups, len, dim_head)`` attention layout with single
+  einsums (XLA fuses matmul + relayout), replacing the reference's
+  split → heads-first transpose → group-rearrange chain
+  (reference :102,109-116).
+* **Compute-dtype residual stream** — embeddings/LayerNorms run in the
+  model dtype (bf16 on TPU; LN statistics still accumulate fp32), because
+  a silently fp32-promoted residual stream doubles HBM traffic everywhere.
 
 Conscious divergences from the reference (documented per SURVEY.md §7):
 * Embedding tables are sized ``1 + F * num_patches`` (positions) and
@@ -22,7 +33,7 @@ Conscious divergences from the reference (documented per SURVEY.md §7):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -33,7 +44,6 @@ from mintime_tpu.data.assembler import NUM_SIZE_BUCKETS
 from mintime_tpu.ops.attention import (
     build_cls_mask,
     build_frame_mask,
-    cls_attention,
     grouped_attention_with_cls,
 )
 
@@ -65,8 +75,12 @@ class DividedAttention(nn.Module):
 
     ``axis='time'``: groups are the n spatial patches, sequence is F frames,
     masked by ``frame_mask``. ``axis='space'``: groups are the F frames,
-    sequence is the n patches, unmasked (CLS row still uses ``cls_mask``).
-    Mirrors reference :109-144.
+    sequence is the n patches, unmasked. The CLS row always attends to all
+    tokens under ``cls_mask``, and every token additionally attends to the
+    CLS key/value (reference :109-144).
+
+    Operates on the two-stream layout: ``x_tok (B, f, n, dim)`` +
+    ``x_cls (B, 1, dim)`` → same shapes out.
     """
 
     dim: int
@@ -74,73 +88,133 @@ class DividedAttention(nn.Module):
     dim_head: int
     dropout: float = 0.0
     dtype: Any = None
-    use_pallas: bool = False  # fused Pallas kernel for the grouped attention
+    use_pallas: bool = False  # fused Pallas divided-attention kernel
 
     @nn.compact
     def __call__(
         self,
-        x,  # (B, 1 + F*n, dim)
+        x_tok,  # (B, f, n, dim)
+        x_cls,  # (B, 1, dim)
         *,
         axis: str,
-        f: int,
-        n: int,
-        frame_mask=None,  # (B, F, F+1) bool
-        cls_mask=None,  # (B, 1+F*n) bool
+        frame_mask=None,  # (B, F, F+1) bool, column 0 = CLS key
+        cls_mask=None,  # (B, F) bool frame validity for the CLS row
         deterministic: bool = True,
+        need_attn: bool = True,  # compute the CLS-row attention map
     ):
-        B, N, _ = x.shape
-        inner = self.heads * self.dim_head
-        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=_INIT, dtype=self.dtype)(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        B, f, n, D = x_tok.shape
+        H, dh = self.heads, self.dim_head
+        inner = H * dh
+        # packed projections as raw params (reference to_qkv/to_out,
+        # :102,141) so the Pallas kernel can consume them directly
+        w_qkv = self.param("qkv_kernel", _INIT, (D, inner * 3))
+        w_proj = self.param("proj_kernel", _INIT, (inner, self.dim))
+        b_proj = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
 
-        def heads_first(t):  # (B, N, inner) -> (B, H, N, d)
-            return t.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        def cast(t):
+            return t.astype(self.dtype) if self.dtype is not None else t
 
-        q, k, v = map(heads_first, (q, k, v))
-        q = q * (self.dim_head ** -0.5)
+        x_tok, x_cls = cast(x_tok), cast(x_cls)
+        scale = dh ** -0.5
 
-        cls_out, cls_attn = cls_attention(q[:, :, :1], k, v, cls_mask)
-
-        def to_groups(t):  # (B, H, F*n, d) -> (B, H, G, L, d)
-            t = t.reshape(B, self.heads, f, n, self.dim_head)
-            if axis == "time":
-                return t.transpose(0, 1, 3, 2, 4)  # groups=n, seq=F
-            return t  # groups=F, seq=n
-
-        q_g, k_g, v_g = (to_groups(t[:, :, 1:]) for t in (q, k, v))
-        if self.use_pallas:
+        if self.use_pallas and not need_attn:
             from mintime_tpu.ops.pallas_attention import (
-                fused_grouped_attention,
+                divided_attention,
                 mask_to_bias,
             )
 
-            bias = (
+            # qkv in the natural (B, f, n, 3*inner) layout — a pure matmul,
+            # no transposes; the kernel does all regrouping in VMEM
+            qkv_tok = jnp.einsum("bfnd,dc->bfnc", x_tok, cast(w_qkv))
+            qkv_cls = x_cls[:, 0] @ cast(w_qkv)  # (B, 3*inner)
+            frame_bias = (
                 mask_to_bias(frame_mask)
                 if axis == "time" and frame_mask is not None
                 else None
             )
-            out_g = fused_grouped_attention(
-                q_g, k_g, v_g, k[:, :, :1], v[:, :, :1], bias, heads=self.heads
-            ).astype(v_g.dtype)
-        else:
-            mask = (
-                frame_mask[:, None]
-                if axis == "time" and frame_mask is not None
+            row_bias = (
+                jnp.where(cls_mask, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
+                .astype(jnp.float32)[:, :, None]  # (B, f, 1)
+                if cls_mask is not None
                 else None
             )
-            # mask (B, 1, F, F+1) broadcasts over the n groups
-            out_g = grouped_attention_with_cls(
-                q_g, k_g, v_g, k[:, :, :1], v[:, :, :1], mask
+            o_tok, o_cls = divided_attention(
+                qkv_tok, qkv_cls[:, None], frame_bias, row_bias,
+                axis=axis, heads=H, dim_head=dh,
+            )
+            out_tok = jnp.einsum("bfni,ic->bfnc", o_tok, cast(w_proj)) + cast(b_proj)
+            out_cls = o_cls @ cast(w_proj) + cast(b_proj)
+            drop = nn.Dropout(self.dropout)
+            return (
+                drop(out_tok, deterministic=deterministic),
+                drop(out_cls, deterministic=deterministic),
+                None,
             )
 
-        if axis == "time":
-            out_g = out_g.transpose(0, 1, 3, 2, 4)  # back to (B, H, F, n, d)
-        out_tok = out_g.reshape(B, self.heads, f * n, self.dim_head)
-        out = jnp.concatenate([cls_out, out_tok], axis=2)
-        out = out.transpose(0, 2, 1, 3).reshape(B, N, inner)
-        out = nn.Dense(self.dim, kernel_init=_INIT, dtype=self.dtype)(out)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return out, cls_attn
+        # ---- XLA path (also the attention-map path): project straight into
+        # the grouped (B, H, G, L, d) layout — ONE fused matmul+relayout per
+        # tensor instead of the reference's transpose chain
+        w3 = cast(w_qkv).reshape(D, 3, H, dh)
+        spec = "bfnd,dhe->bhnfe" if axis == "time" else "bfnd,dhe->bhfne"
+        q_g = jnp.einsum(spec, x_tok, w3[:, 0]) * scale  # (B, H, G, L, d)
+        k_g = jnp.einsum(spec, x_tok, w3[:, 1])
+        v_g = jnp.einsum(spec, x_tok, w3[:, 2])
+        xc = x_cls[:, 0]  # (B, D)
+        q_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, 0]) * scale
+        k_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, 1])
+        v_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, 2])
+
+        # CLS row: attends to all tokens + itself (reference :117-120).
+        # Softmax is order-independent, so compute it in grouped layout.
+        lt = jnp.einsum("bhe,bhgle->bhgl", q_cls, k_g).astype(jnp.float32)
+        lc = jnp.einsum("bhe,bhe->bh", q_cls, k_cls).astype(jnp.float32)
+        if cls_mask is not None:
+            tok_mask = jnp.broadcast_to(cls_mask[:, :, None], (B, f, n))
+            if axis == "time":
+                tok_mask = tok_mask.swapaxes(1, 2)  # (B, n, f)
+            neg = -jnp.finfo(jnp.float32).max
+            lt = jnp.where(tok_mask[:, None], lt, neg)
+        m = jnp.maximum(jnp.max(lt, axis=(2, 3)), lc)  # (B, H)
+        pt = jnp.exp(lt - m[:, :, None, None])
+        pc = jnp.exp(lc - m)
+        z = jnp.sum(pt, axis=(2, 3)) + pc
+        pt = pt / z[:, :, None, None]
+        pc = pc / z
+        cls_out = (
+            jnp.einsum("bhgl,bhgle->bhe", pt.astype(v_g.dtype), v_g)
+            + pc[:, :, None].astype(v_cls.dtype) * v_cls
+        )  # (B, H, d)
+
+        cls_attn = None
+        if need_attn:
+            # reference layout (B, H, 1, 1+F*n): CLS first, tokens f-major
+            p_tok = pt.swapaxes(2, 3) if axis == "time" else pt  # (B,H,f,n)
+            cls_attn = jnp.concatenate(
+                [pc[:, :, None], p_tok.reshape(B, H, f * n)], axis=-1
+            )[:, :, None, :].astype(jnp.float32)
+
+        # token rows: grouped attention with the CLS key/value column
+        k_cls4 = k_cls[:, :, None]  # (B, H, 1, d)
+        v_cls4 = v_cls[:, :, None]
+        mask = (
+            frame_mask[:, None]
+            if axis == "time" and frame_mask is not None
+            else None
+        )
+        # mask (B, 1, F, F+1) broadcasts over the n groups
+        out_g = grouped_attention_with_cls(q_g, k_g, v_g, k_cls4, v_cls4, mask)
+
+        # output projection straight from the grouped layout
+        wp = cast(w_proj).reshape(H, dh, self.dim)
+        ospec = "bhnfe,hec->bfnc" if axis == "time" else "bhfne,hec->bfnc"
+        out_tok = jnp.einsum(ospec, out_g, wp) + cast(b_proj)
+        out_cls = jnp.einsum("bhe,hec->bc", cls_out, wp)[:, None] + cast(b_proj)
+        drop = nn.Dropout(self.dropout)
+        return (
+            drop(out_tok, deterministic=deterministic),
+            drop(out_cls, deterministic=deterministic),
+            cls_attn,
+        )
 
 
 class SizeInvariantTimeSformer(nn.Module):
@@ -161,7 +235,7 @@ class SizeInvariantTimeSformer(nn.Module):
     config: ModelConfig
     require_attention: bool = False
     dtype: Any = None  # compute dtype for matmuls (softmax always fp32)
-    use_pallas: bool = False  # route grouped attention through the Pallas kernel
+    use_pallas: bool = False  # route attention through the Pallas kernel
 
     @nn.compact
     def __call__(
@@ -179,71 +253,77 @@ class SizeInvariantTimeSformer(nn.Module):
         if n != cfg.num_patches:
             raise ValueError(f"feature grid {h}x{w} != num-patches {cfg.num_patches}")
 
-        tokens = nn.Dense(
+        # two-stream layout: tokens (B, F, n, dim) + CLS (B, 1, dim)
+        x_tok = nn.Dense(
             cfg.dim, kernel_init=_INIT, dtype=self.dtype, name="to_patch_embedding"
-        )(x.reshape(B, F * n, C))
+        )(x.reshape(B, F, n, C))
         cls_token = self.param("cls_token", _INIT, (1, cfg.dim))
-        xseq = jnp.concatenate(
-            [jnp.broadcast_to(cls_token[None], (B, 1, cfg.dim)).astype(tokens.dtype), tokens],
-            axis=1,
-        )
+        x_cls = jnp.broadcast_to(cls_token[None], (B, 1, cfg.dim)).astype(x_tok.dtype)
 
+        # keep the residual stream in the compute dtype: nn.Embed lookups are
+        # fp32 and bf16+fp32 promotes, which would silently double the HBM
+        # traffic of every residual/LayerNorm pass in the block stack
         pos_table = nn.Embed(
-            1 + F * cfg.num_patches, cfg.dim, embedding_init=_INIT, name="pos_emb"
+            1 + F * cfg.num_patches, cfg.dim, embedding_init=_INIT,
+            dtype=self.dtype, name="pos_emb"
         )
         if cfg.enable_pos_emb and positions is not None:
-            xseq = xseq + pos_table(positions)
+            x_cls = x_cls + pos_table(positions[:, :1])
+            x_tok = x_tok + pos_table(positions[:, 1:].reshape(B, F, n))
         else:
-            xseq = xseq + pos_table(jnp.arange(1 + F * n))[None]
+            table = pos_table(jnp.arange(1 + F * n))
+            x_cls = x_cls + table[:1][None]
+            x_tok = x_tok + table[1:].reshape(F, n, cfg.dim)[None]
 
         if cfg.enable_size_emb:
             size_table = nn.Embed(
-                1 + NUM_SIZE_BUCKETS, cfg.dim, embedding_init=_INIT, name="size_emb"
+                1 + NUM_SIZE_BUCKETS, cfg.dim, embedding_init=_INIT,
+                dtype=self.dtype, name="size_emb"
             )
-            size_idx = jnp.concatenate(
-                [
-                    jnp.zeros((B, 1), dtype=jnp.int32),
-                    jnp.repeat(size_embedding.astype(jnp.int32), n, axis=-1),
-                ],
-                axis=1,
-            )
-            xseq = xseq + size_table(size_idx)
+            # every patch of frame f gets frame f's bucket; CLS gets bucket 0
+            x_tok = x_tok + size_table(size_embedding.astype(jnp.int32))[:, :, None, :]
+            x_cls = x_cls + size_table(jnp.zeros((B, 1), jnp.int32))
 
         if mask is None:
             mask = jnp.ones((B, F), dtype=bool)
         if identities_mask is None or not cfg.enable_identity_attention:
             identities_mask = jnp.ones((B, F, F), dtype=bool)
         frame_mask = build_frame_mask(mask, identities_mask)
-        cls_mask = build_cls_mask(mask, n)
 
         space_attn_out = time_attn_out = None
         for layer in range(cfg.depth):
-            y = nn.LayerNorm(epsilon=1e-5, name=f"time_norm_{layer}")(xseq)
-            y, time_attn_out = DividedAttention(
-                cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                dtype=self.dtype, use_pallas=self.use_pallas,
-                name=f"time_attn_{layer}",
-            )(
-                y, axis="time", f=F, n=n, frame_mask=frame_mask, cls_mask=cls_mask,
-                deterministic=deterministic,
-            )
-            xseq = xseq + y
-            y = nn.LayerNorm(epsilon=1e-5, name=f"space_norm_{layer}")(xseq)
-            y, space_attn_out = DividedAttention(
-                cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                dtype=self.dtype, use_pallas=self.use_pallas,
-                name=f"space_attn_{layer}",
-            )(
-                y, axis="space", f=F, n=n, cls_mask=cls_mask,
-                deterministic=deterministic,
-            )
-            xseq = xseq + y
-            y = nn.LayerNorm(epsilon=1e-5, name=f"ff_norm_{layer}")(xseq)
-            xseq = xseq + GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype, name=f"ff_{layer}")(
-                y, deterministic=deterministic
-            )
+            # attention maps are only consumed from the LAST layer
+            # (reference :271-275) — earlier layers take the fused fast path
+            need_attn = self.require_attention and layer == cfg.depth - 1
+            for ax, kind in (("time", "time"), ("space", "space")):
+                ln = nn.LayerNorm(
+                    epsilon=1e-5, dtype=self.dtype, name=f"{kind}_norm_{layer}"
+                )
+                y_tok, y_cls, attn = DividedAttention(
+                    cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
+                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    name=f"{kind}_attn_{layer}",
+                )(
+                    ln(x_tok), ln(x_cls), axis=ax,
+                    frame_mask=frame_mask if ax == "time" else None,
+                    cls_mask=mask,
+                    deterministic=deterministic, need_attn=need_attn,
+                )
+                x_tok = x_tok + y_tok
+                x_cls = x_cls + y_cls
+                if ax == "time":
+                    time_attn_out = attn
+                else:
+                    space_attn_out = attn
+            ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{layer}")
+            ff = GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype,
+                       name=f"ff_{layer}")
+            x_tok = x_tok + ff(ln(x_tok), deterministic=deterministic)
+            x_cls = x_cls + ff(ln(x_cls), deterministic=deterministic)
 
-        cls_out = nn.LayerNorm(epsilon=1e-5, name="out_norm")(xseq[:, 0])
+        cls_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(
+            x_cls[:, 0]
+        )
         logits = nn.Dense(cfg.num_classes, kernel_init=_INIT, name="out_proj")(cls_out)
 
         if self.require_attention:

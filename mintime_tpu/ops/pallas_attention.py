@@ -115,3 +115,143 @@ def fused_grouped_attention(q_g, k_g, v_g, k_cls, v_cls, bias, heads: int):
 def mask_to_bias(mask) -> jnp.ndarray:
     """bool (B, L, 1+L) mask → additive fp32 bias (0 where True, -big)."""
     return jnp.where(mask, 0.0, NEG).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# v2: whole divided attention (token rows + CLS row) from natural-layout
+# packed qkv, one kernel per (batch) grid cell.
+#
+# The qkv projection stays an XLA matmul with NO transposed output —
+# ``(B, f, n, 3·inner)`` is its natural layout — and every regrouping
+# (per-head lane slice, frame↔patch swap for the time axis) happens on
+# VMEM-resident data inside the kernel. Mosaic constraint driving the
+# design: sublane reshapes like (784, d) → (16, 49, d) are unsupported, but
+# leading-axis swaps of 3-D tiles and 64-wide lane slices are fine (probed
+# on v5e). HBM traffic per layer ≈ read qkv + write out, ~6× less than the
+# grouped-einsum XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
+                    ocls_ref, *, axis: str, heads: int, dim_head: int):
+    f, n = qkv_ref.shape[1], qkv_ref.shape[2]
+    inner = heads * dim_head
+    scale = dim_head ** -0.5
+    qkv = qkv_ref[0]  # (f, n, 3*inner)
+    qkvc = qkvc_ref[0]  # (1, 3*inner)
+    fbias = fbias_ref[0]  # (f, 1+f) fp32, or (1, 1) zeros
+    rbias = rbias_ref[0]  # (f, 1) fp32, or (1, 1) zeros
+
+    for h in range(heads):
+        oq, ok, ov = h * dim_head, inner + h * dim_head, 2 * inner + h * dim_head
+        qt = qkv[:, :, oq:oq + dim_head] * scale  # (f, n, dh)
+        kt = qkv[:, :, ok:ok + dim_head]
+        vt = qkv[:, :, ov:ov + dim_head]
+        qc = qkvc[:, oq:oq + dim_head] * scale  # (1, dh)
+        kc = qkvc[:, ok:ok + dim_head]
+        vc = qkvc[:, ov:ov + dim_head]
+
+        # ---- token rows: grouped attention + CLS key column
+        if axis == "time":  # groups = n patches, seq = f frames
+            qg, kg, vg = (t.swapaxes(0, 1) for t in (qt, kt, vt))
+        else:  # groups = f frames, seq = n patches
+            qg, kg, vg = qt, kt, vt
+        logits_tok = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (G, L, L)
+        logits_cls = jnp.sum(
+            qg.astype(jnp.float32) * kc[0].astype(jnp.float32)[None, None, :],
+            axis=-1, keepdims=True,
+        )  # (G, L, 1)
+        logits = jnp.concatenate([logits_cls, logits_tok], axis=-1)
+        if axis == "time":
+            logits = logits + fbias[None]  # (f, 1+f) shared over groups
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vg.dtype)
+        og = jax.lax.dot_general(
+            attn[..., 1:], vg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        og = og + attn[..., :1].astype(jnp.float32) * vc[0].astype(jnp.float32)[None, None]
+        if axis == "time":
+            og = og.swapaxes(0, 1)  # back to (f, n, dh)
+        otok_ref[0, :, :, oq:oq + dim_head] = og.astype(otok_ref.dtype)
+
+        # ---- CLS row: attends to every token (order-independent softmax)
+        lr = jnp.sum(
+            qc[0].astype(jnp.float32)[None, None, :] * kt.astype(jnp.float32),
+            axis=-1,
+        ) + rbias  # (f, n) + (f, 1) frame-validity bias
+        ls = jnp.sum(
+            qc.astype(jnp.float32) * kc.astype(jnp.float32), axis=-1,
+            keepdims=True,
+        )  # (1, 1) CLS self-logit (always valid)
+        m = jnp.maximum(jnp.max(lr, axis=(0, 1), keepdims=True), ls)
+        pr = jnp.exp(lr - m)
+        ps = jnp.exp(ls - m)
+        z = jnp.sum(pr, axis=(0, 1), keepdims=True) + ps
+        # Σ_{f,n} p·v as a broadcast multiply + reduce (Mosaic rejects a
+        # dot_general whose lhs has no non-contracting dims)
+        acc = jnp.sum(
+            pr[:, :, None] * vt.astype(jnp.float32), axis=(0, 1), keepdims=True
+        )[0]  # (1, dh)
+        co = (acc + ps * vc.astype(jnp.float32)) / z
+        ocls_ref[0, :, oq:oq + dim_head] = co.astype(ocls_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("axis", "heads", "dim_head"))
+def divided_attention(qkv_tok, qkv_cls, frame_bias, row_bias, *, axis: str,
+                      heads: int, dim_head: int):
+    """Divided space/time attention from packed natural-layout qkv.
+
+    Args:
+      qkv_tok: (B, f, n, 3*inner) packed [q|k|v] token projections
+        (pre-scale; the kernel applies dim_head**-0.5 to q).
+      qkv_cls: (B, 1, 3*inner) CLS projections.
+      frame_bias: (B, f, 1+f) fp32 additive time mask (column 0 = CLS key)
+        or None; only used for ``axis='time'``.
+      row_bias: (B, f, 1) fp32 additive CLS-row frame-validity bias or None.
+    Returns (out_tok (B, f, n, inner), out_cls (B, 1, inner)).
+    """
+    B, f, n, c3 = qkv_tok.shape
+    inner = c3 // 3
+    if frame_bias is None:
+        frame_bias = jnp.zeros((1, 1, 1), jnp.float32)
+        fb_block, fb_index = (1, 1, 1), (lambda b: (0, 0, 0))
+    else:
+        frame_bias = frame_bias.astype(jnp.float32)
+        fb_block, fb_index = (1, f, 1 + f), (lambda b: (b, 0, 0))
+    if row_bias is None:
+        row_bias = jnp.zeros((1, 1, 1), jnp.float32)
+        rb_block, rb_index = (1, 1, 1), (lambda b: (0, 0, 0))
+    else:
+        row_bias = row_bias.astype(jnp.float32)
+        rb_block, rb_index = (1, f, 1), (lambda b: (b, 0, 0))
+
+    kernel = functools.partial(
+        _divided_kernel, axis=axis, heads=heads, dim_head=dim_head
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        interpret=jax.default_backend() == "cpu",  # CI runs on CPU
+        # the 8-way unrolled head loop keeps per-head temporaries live past
+        # the default 16 MB scoped-vmem budget; v5e has headroom above it
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, f, n, c3), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(fb_block, fb_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(rb_block, rb_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, f, n, inner), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, inner), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, f, n, inner), qkv_tok.dtype),
+            jax.ShapeDtypeStruct((B, 1, inner), qkv_tok.dtype),
+        ],
+    )(qkv_tok, qkv_cls, frame_bias, row_bias)

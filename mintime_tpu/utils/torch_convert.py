@@ -176,8 +176,9 @@ def timesformer_params_from_torch(
             base = f"layers.{i}.{j}"
             params[f"{kind}_norm_{i}"] = _layernorm(sd, f"{base}.norm")
             params[f"{kind}_attn_{i}"] = {
-                "Dense_0": _linear_nobias(sd, f"{base}.fn.to_qkv"),
-                "Dense_1": _linear(sd, f"{base}.fn.to_out.0"),
+                "qkv_kernel": _linear_nobias(sd, f"{base}.fn.to_qkv")["kernel"],
+                "proj_kernel": _linear(sd, f"{base}.fn.to_out.0")["kernel"],
+                "proj_bias": _np(sd[f"{base}.fn.to_out.0.bias"]),
             }
         base = f"layers.{i}.2"
         params[f"ff_norm_{i}"] = _layernorm(sd, f"{base}.norm")
