@@ -54,3 +54,62 @@ def test_model_with_pallas_flag():
     pallas_model = SizeInvariantTimeSformer(SMALL, use_pallas=True)
     out = jax.jit(pallas_model.apply)(params, x, mask, id_mask, size_emb, positions)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=5e-2)
+
+
+@pytest.mark.parametrize("axis", ["time", "space"])
+def test_divided_attention_kernel(axis):
+    """v2 kernel (packed natural-layout qkv, incl. CLS row) vs XLA path."""
+    from mintime_tpu.ops.pallas_attention import divided_attention
+
+    B, f, n, H, dh = 2, 8, 4, 2, 32
+    inner = H * dh
+    rng = np.random.default_rng(2)
+    qkv4 = rng.standard_normal((B, f, n, 3 * inner)).astype(np.float32) * 0.1
+    qkvc = rng.standard_normal((B, 1, 3 * inner)).astype(np.float32) * 0.1
+    mask = np.ones((B, f), bool)
+    mask[1, 5:] = False
+    idm = np.ones((B, f, f), bool)
+    idm[0, :4, 4:] = idm[0, 4:, :4] = False  # two identities
+    fm = np.concatenate([np.ones((B, f, 1), bool), mask[:, None, :] & idm], -1)
+    frame_bias = mask_to_bias(jnp.asarray(fm)) if axis == "time" else None
+    row_bias = jnp.where(jnp.asarray(mask), 0.0, -0.7 * np.finfo(np.float32).max)[
+        :, :, None
+    ]
+
+    out_tok, out_cls = divided_attention(
+        jnp.asarray(qkv4), jnp.asarray(qkvc), frame_bias, row_bias,
+        axis=axis, heads=H, dim_head=dh,
+    )
+
+    # reference: grouped XLA attention on the unpacked tensors
+    w = qkv4.reshape(B, f, n, 3, H, dh)
+    spec = (0, 3, 2, 1, 4) if axis == "time" else (0, 3, 1, 2, 4)
+    q_g = np.transpose(w[..., 0, :, :], spec) * dh ** -0.5
+    k_g = np.transpose(w[..., 1, :, :], spec)
+    v_g = np.transpose(w[..., 2, :, :], spec)
+    wc = qkv4c = qkvc.reshape(B, 3, H, dh)
+    kc, vc = wc[:, 1][:, :, None], wc[:, 2][:, :, None]
+    gmask = jnp.asarray(fm)[:, None] if axis == "time" else None
+    ref_g = grouped_attention_with_cls(
+        jnp.asarray(q_g), jnp.asarray(k_g), jnp.asarray(v_g), kc, vc, gmask
+    )
+    back = (0, 3, 2, 1, 4) if axis == "time" else (0, 2, 3, 1, 4)
+    ref_tok = np.transpose(np.asarray(ref_g), back).reshape(B, f, n, inner)
+    np.testing.assert_allclose(np.asarray(out_tok), ref_tok, atol=2e-2, rtol=2e-2)
+
+    # CLS row reference: full softmax over all tokens + self
+    qc = wc[:, 0] * dh ** -0.5  # (B, H, dh)
+    k_tok = w[..., 1, :, :].reshape(B, f * n, H, dh)
+    v_tok = w[..., 2, :, :].reshape(B, f * n, H, dh)
+    lt = np.einsum("bhd,bthd->bht", qc, k_tok)
+    lt[~np.repeat(mask, n, -1)[:, None, :].repeat(H, 1)] = -np.inf
+    ls = np.einsum("bhd,bhd->bh", qc, wc[:, 1])
+    lall = np.concatenate([ls[:, :, None], lt], -1)
+    p = np.exp(lall - lall.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    ref_cls = np.einsum("bht,bthd->bhd", p[:, :, 1:], v_tok) + p[:, :, 0][
+        :, :, None
+    ] * wc[:, 2]
+    np.testing.assert_allclose(
+        np.asarray(out_cls)[:, 0], ref_cls.reshape(B, inner), atol=2e-2, rtol=2e-2
+    )
