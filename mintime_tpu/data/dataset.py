@@ -230,8 +230,12 @@ class DeepfakesDataset:
             frames.append(img)
 
         frames = self.transform(frames, rng)
+        # frames travel as uint8 (augments are uint8 end-to-end) — 4× less
+        # worker→device transport than float32; the model casts on device.
+        # The reference feeds raw 0..255 floats (its albumentations stacks
+        # contain no Normalize), so uint8 is value-exact.
         sample = {
-            "frames": np.stack(frames).astype(np.float32),
+            "frames": np.stack(frames),
             "size_embedding": size_embeddings,
             "mask": plan.mask,
             "identities_mask": plan.identities_mask,

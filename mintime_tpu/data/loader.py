@@ -1,16 +1,28 @@
-"""Threaded prefetching batch loader feeding device-sharded batches.
+"""Prefetching batch loader feeding device-sharded batches.
 
 Replaces the reference's ``torch.utils.data.DataLoader(num_workers,
-prefetch_factor=2)`` (train.py:265-276) with a thread-pool pipeline: worker
-threads run the (numpy/cv2, GIL-releasing) dataset ``__getitem__``; a
-bounded queue holds ready batches; optionally each batch is placed on the
-mesh with the batch axis sharded (``data`` axis) so the jitted train step
-consumes device-resident input.
+prefetch_factor=2)`` (train.py:265-276). Two worker modes:
+
+* ``"process"`` (default) — forked worker processes each build whole
+  batches (decode + augment + assemble) and ship them back over a queue.
+  The dataset's ``__getitem__`` is numpy/cv2-heavy Python; threads serialize
+  on the GIL (measured ~10 videos/s at 224px/F=16 — a 50× starve against
+  the ~490 videos/s the chip sustains), processes don't. Batches travel as
+  uint8 frames (4× smaller than float32); the model casts on device.
+* ``"thread"`` — the old thread-pool path; used automatically when the
+  platform can't fork and handy under pytest.
+
+Optionally each batch is placed on the mesh with the batch axis sharded
+(``data`` axis) so the jitted train step consumes device-resident input.
+Batches are yielded strictly in order in both modes (deterministic runs).
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
+import os
 import queue
+import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
@@ -18,6 +30,19 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from mintime_tpu.data.dataset import collate
+
+
+def _worker_loop(dataset, task_q, out_q):
+    while True:
+        item = task_q.get()
+        if item is None:
+            return
+        seq, batch_idx = item
+        try:
+            samples = [dataset[i] for i in batch_idx]
+            out_q.put((seq, collate(samples), None))
+        except Exception as e:  # surface worker failures to the consumer
+            out_q.put((seq, None, f"{type(e).__name__}: {e}"))
 
 
 class DataLoader:
@@ -31,6 +56,7 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         mesh=None,
+        worker_mode: str | None = None,  # "process" | "thread" | None=auto
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -40,6 +66,12 @@ class DataLoader:
         self.drop_last = drop_last
         self.seed = seed
         self.mesh = mesh
+        if worker_mode is None:
+            # processes only pay off with real cores to fan out to; on a
+            # single-core host the fork/queue overhead loses to threads
+            multicore = (os.cpu_count() or 1) > 1
+            worker_mode = "process" if hasattr(os, "fork") and multicore else "thread"
+        self.worker_mode = worker_mode
         self._epoch = 0
 
     def __len__(self):
@@ -60,7 +92,72 @@ class DataLoader:
             out.pop()
         return out
 
+    def _shard(self, item: dict) -> dict:
+        if self.mesh is None:
+            return item
+        from mintime_tpu.parallel.mesh import shard_batch
+
+        arrays = {k: v for k, v in item.items() if isinstance(v, np.ndarray)}
+        rest = {k: v for k, v in item.items() if k not in arrays}
+        return {**shard_batch(self.mesh, arrays), **rest}
+
     def __iter__(self) -> Iterator[dict]:
+        if self.worker_mode == "process":
+            yield from self._iter_process()
+        else:
+            yield from self._iter_thread()
+
+    # ---- process mode -----------------------------------------------------
+
+    def _iter_process(self) -> Iterator[dict]:
+        batches = self._batches()
+        self._epoch += 1
+        if not batches:
+            return
+        ctx = mp.get_context("fork")
+        nw = min(self.num_workers, len(batches))
+        task_q = ctx.SimpleQueue()
+        out_q = ctx.SimpleQueue()
+        workers = [
+            ctx.Process(
+                target=_worker_loop, args=(self.dataset, task_q, out_q), daemon=True
+            )
+            for _ in range(nw)
+        ]
+        for w in workers:
+            w.start()
+        try:
+            # keep ≤ nw + prefetch batches in flight, yield strictly in order
+            pending: dict[int, dict] = {}
+            submitted = 0
+            next_seq = 0
+            inflight_cap = nw + self.prefetch
+            while submitted < min(inflight_cap, len(batches)):
+                task_q.put((submitted, batches[submitted]))
+                submitted += 1
+            while next_seq < len(batches):
+                while next_seq not in pending:
+                    seq, item, err = out_q.get()
+                    if err is not None:
+                        raise RuntimeError(f"loader worker failed: {err}")
+                    pending[seq] = item
+                item = pending.pop(next_seq)
+                next_seq += 1
+                if submitted < len(batches):
+                    task_q.put((submitted, batches[submitted]))
+                    submitted += 1
+                yield self._shard(item)
+        finally:
+            for _ in workers:
+                task_q.put(None)
+            for w in workers:
+                w.join(timeout=1.0)
+                if w.is_alive():
+                    w.terminate()
+
+    # ---- thread mode ------------------------------------------------------
+
+    def _iter_thread(self) -> Iterator[dict]:
         batches = self._batches()
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -82,14 +179,6 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     return
-                if self.mesh is not None:
-                    from mintime_tpu.parallel.mesh import shard_batch
-
-                    arrays = {
-                        k: v for k, v in item.items() if isinstance(v, np.ndarray)
-                    }
-                    rest = {k: v for k, v in item.items() if k not in arrays}
-                    item = {**shard_batch(self.mesh, arrays), **rest}
-                yield item
+                yield self._shard(item)
         finally:
             stop.set()

@@ -60,6 +60,8 @@ class MintimeVideoClassifier(nn.Module):
             x = frames.reshape((B * F,) + frames.shape[2:])
             if self.dtype is not None:
                 x = x.astype(self.dtype)
+            elif not jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.float32)  # uint8 batches from the loader
             bb_train = train and not self.freeze_backbone
             if self.backbone == "efficientnet-b0":
                 bb = EfficientNet("efficientnet-b0", dtype=self.dtype, name="extractor")

@@ -44,6 +44,8 @@ class ConvolutionalTimeSformer(nn.Module):
         x = frames.reshape((B * F,) + frames.shape[2:])
         if self.dtype is not None:
             x = x.astype(self.dtype)
+        elif not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)  # uint8 batches from the loader
         # frozen backbone tap (reference :165-171, :209)
         feats = EfficientNet(
             "efficientnet-b0",

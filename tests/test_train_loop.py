@@ -118,3 +118,25 @@ def test_fit_and_checkpoint_roundtrip(faces_dir, tmp_path):
     b = jax.tree.leaves(restored.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     assert int(restored.step) == int(state.step)
+
+
+def test_loader_process_mode(faces_dir):
+    """Forked-worker loader returns identical, in-order batches."""
+    root, videos, labels = faces_dir
+    mk = lambda mode: DeepfakesDataset(
+        videos, labels, data_path=root,
+        image_size=SMALL.image_size, num_frames=SMALL.num_frames,
+        num_patches=SMALL.num_patches, max_identities=SMALL.max_identities,
+        mode="val", augmentation="min",
+    )
+    a = DataLoader(mk("val"), batch_size=4, shuffle=False, num_workers=2,
+                   worker_mode="process")
+    b = DataLoader(mk("val"), batch_size=4, shuffle=False, num_workers=2,
+                   worker_mode="thread")
+    batches_a, batches_b = list(a), list(b)
+    assert len(batches_a) == len(batches_b) == 2
+    for ba, bb in zip(batches_a, batches_b):
+        assert ba["frames"].dtype == np.uint8
+        np.testing.assert_array_equal(ba["frames"], bb["frames"])
+        np.testing.assert_array_equal(ba["positions"], bb["positions"])
+        np.testing.assert_array_equal(ba["labels"], bb["labels"])
