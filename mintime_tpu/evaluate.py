@@ -147,6 +147,7 @@ def main(argv=None):
         head=head,
         require_attention=opt.save_attentions,
         dtype=jnp.bfloat16,
+        use_pallas=True,  # inference-only: fused divided-attention kernel
     )
     variables = load_model_variables(
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights

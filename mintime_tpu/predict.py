@@ -288,6 +288,7 @@ def main(argv=None):
         head="timesformer",
         require_attention=True,
         dtype=jnp.bfloat16,
+        use_pallas=True,  # fused kernel for all but the attention-map layer
     )
     variables = load_model_variables(
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights

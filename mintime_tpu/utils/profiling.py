@@ -61,3 +61,43 @@ def sync(x):
     if leaves:
         np.asarray(leaves[0])
     return x
+
+
+def op_stats(trace_dir: str, top: int = 20) -> list[dict]:
+    """Per-op device time from a :func:`trace` capture, via xprof.
+
+    Returns the ``top`` ops by total self-time as dicts with keys
+    ``name``, ``type``, ``self_ms``, ``flop_rate_gs``, ``bw_gbs``,
+    ``bound_by`` — the tool that found the depthwise-conv and
+    attention-layout bottlenecks documented in PARITY.md. Requires the
+    ``xprof``/``tensorboard_plugin_profile`` package (baked in this image);
+    raises ImportError otherwise.
+    """
+    import glob
+    import json
+
+    from xprof.convert import raw_to_tool_data as r2t
+
+    files = glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
+    if not files:
+        raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    data, _ = r2t.xspace_to_tool_data(files, "framework_op_stats", {})
+    d = json.loads(data.decode() if isinstance(data, bytes) else data)
+    table = d[0] if isinstance(d, list) else d
+    cols = [c["label"] for c in table["cols"]]
+    idx = {label: i for i, label in enumerate(cols)}
+    out = []
+    for r in table["rows"]:
+        c = [x.get("v") for x in r["c"]]
+        out.append(
+            {
+                "name": c[idx["Operation Name"]],
+                "type": c[idx["Operation Type"]],
+                "self_ms": (c[idx["Total self-time (us)"]] or 0) / 1e3,
+                "flop_rate_gs": c[idx.get("Model FLOP Rate (GFLOP/s)", 0)],
+                "bw_gbs": c[idx.get("Measured Memory BW (GBytes/Sec)", 0)],
+                "bound_by": c[idx.get("Bound by", 0)],
+            }
+        )
+    out.sort(key=lambda o: -o["self_ms"])
+    return out[:top]

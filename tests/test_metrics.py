@@ -87,3 +87,13 @@ class TestAggregateAttentions:
         assert per_identity[0] == pytest.approx(float(agg[-1][0]))
         # identity 1 sums frames [1, 3)
         assert per_identity[1] == pytest.approx(float(np.sum(agg[-1][1:3])))
+
+
+def test_op_stats_requires_trace_dir(tmp_path):
+    """op_stats raises cleanly on an empty/missing trace directory."""
+    import pytest as _pytest
+
+    from mintime_tpu.utils.profiling import op_stats
+
+    with _pytest.raises(FileNotFoundError):
+        op_stats(str(tmp_path))
