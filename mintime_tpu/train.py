@@ -83,22 +83,70 @@ def make_schedule(cfg: MintimeConfig, steps_per_epoch: int, num_epochs: int):
     return t.lr  # constant
 
 
-def make_optimizer(cfg: MintimeConfig, schedule) -> optax.GradientTransformation:
+def make_optimizer(
+    cfg: MintimeConfig, schedule, trainable_mask=None
+) -> optax.GradientTransformation:
     t = cfg.training
     name = t.optimizer.lower()
     if name == "sgd":
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(t.weight_decay),
             optax.sgd(schedule),
         )
-    if name == "adamw":
-        return optax.adamw(schedule, weight_decay=t.weight_decay)
-    if name == "adam":
-        return optax.chain(
+    elif name == "adamw":
+        tx = optax.adamw(schedule, weight_decay=t.weight_decay)
+    elif name == "adam":
+        tx = optax.chain(
             optax.add_decayed_weights(t.weight_decay),
             optax.adam(schedule),
         )
-    raise ValueError(f"invalid optimizer {t.optimizer!r} (train.py:185-193)")
+    else:
+        raise ValueError(f"invalid optimizer {t.optimizer!r} (train.py:185-193)")
+    if trainable_mask is not None:
+        # NB optax.masked passes masked-out grads through UNTOUCHED as
+        # updates — frozen params must get set_to_zero instead
+        def labels(params):
+            mask = trainable_mask(params) if callable(trainable_mask) else trainable_mask
+            import jax
+
+            return jax.tree.map(lambda m: "train" if m else "freeze", mask)
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, labels
+        )
+    return tx
+
+
+def extractor_unfreeze_mask(unfreeze_blocks: int, total_blocks: int = 16):
+    """Reference partial-unfreeze policy (train.py:152-170): with
+    ``--extractor_unfreeze_blocks k > -1``, ONLY the extractor's last ``k``
+    of ``total_blocks`` MBConv blocks receive gradients (stem/head and every
+    other extractor param frozen); all non-extractor params stay trainable.
+
+    Returns a callable for :func:`make_optimizer`'s ``trainable_mask``.
+    """
+
+    def is_trainable(path_key: str) -> bool:
+        parts = path_key.split("/")
+        if "extractor" not in parts:
+            return True
+        for p in parts:
+            if p.startswith("block_"):
+                return int(p.split("_")[1]) >= total_blocks - unfreeze_blocks
+        return False  # extractor stem/head/bn outside blocks
+
+    def mask(params):
+        import jax
+
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        treedef = jax.tree_util.tree_structure(params)
+        vals = [
+            is_trainable("/".join(str(getattr(k, "key", k)) for k in path))
+            for path, _ in flat
+        ]
+        return jax.tree_util.tree_unflatten(treedef, vals)
+
+    return mask
 
 
 def model_inputs(batch: Mapping[str, Any], head: str) -> tuple:
@@ -120,9 +168,12 @@ def create_train_state(
     cfg: MintimeConfig,
     steps_per_epoch: int = 1000,
     num_epochs: int = 30,
+    trainable_mask=None,
 ) -> TrainState:
     variables = model.init(rng, *model_inputs(example_batch, model.head), train=False)
-    tx = make_optimizer(cfg, make_schedule(cfg, steps_per_epoch, num_epochs))
+    tx = make_optimizer(
+        cfg, make_schedule(cfg, steps_per_epoch, num_epochs), trainable_mask
+    )
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),

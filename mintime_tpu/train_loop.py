@@ -161,6 +161,8 @@ def main(argv=None):
     p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
     p.add_argument("--extractor_weights", default=None)
     p.add_argument("--freeze_backbone", action="store_true", default=False)
+    p.add_argument("--extractor_unfreeze_blocks", type=int, default=-1,
+                   help="train only the extractor's last k blocks (train.py:152-170)")
     p.add_argument("--train_list_file", required=True)
     p.add_argument("--validation_list_file", required=True)
     p.add_argument("--data_path", required=True)
@@ -212,9 +214,15 @@ def main(argv=None):
 
     example = next(iter(DataLoader(mk(val_man, "val"), cfg.training.bs,
                                    shuffle=False, num_workers=1)))
+    trainable_mask = None
+    if opt.extractor_unfreeze_blocks > -1 and not opt.freeze_backbone:
+        from mintime_tpu.train import extractor_unfreeze_mask
+
+        trainable_mask = extractor_unfreeze_mask(opt.extractor_unfreeze_blocks)
     state = create_train_state(
         jax.random.key(opt.random_state), model, example, cfg,
         steps_per_epoch=len(train_loader), num_epochs=opt.num_epochs,
+        trainable_mask=trainable_mask,
     )
     starting_epoch = 0
     resume = opt.resume or latest_checkpoint(opt.models_output_path)

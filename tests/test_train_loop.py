@@ -140,3 +140,45 @@ def test_loader_process_mode(faces_dir):
         np.testing.assert_array_equal(ba["frames"], bb["frames"])
         np.testing.assert_array_equal(ba["positions"], bb["positions"])
         np.testing.assert_array_equal(ba["labels"], bb["labels"])
+
+
+def test_extractor_unfreeze_mask(faces_dir):
+    """Only the last-k extractor blocks (and all head params) get updates."""
+    import jax.numpy as jnp
+
+    from mintime_tpu.train import extractor_unfreeze_mask, make_optimizer
+
+    cfg = MintimeConfig(model=SMALL, training=TrainingConfig(bs=4, lr=0.1,
+                                                             optimizer="SGD"))
+    model = MintimeVideoClassifier(SMALL, backbone="efficientnet-b0",
+                                   head="timesformer")
+    loader = make_loader(faces_dir, "val")
+    batch = next(iter(loader))
+    state = create_train_state(
+        jax.random.key(0), model, batch, cfg,
+        trainable_mask=extractor_unfreeze_mask(2),
+    )
+    from mintime_tpu.train import make_train_step
+
+    step = make_train_step(model, 1.0)
+    new_state, _ = jax.jit(step)(state, batch, jax.random.key(1))
+
+    def changed(tree_a, tree_b):
+        return jax.tree.map(
+            lambda a, b: bool(jnp.any(a != b)), tree_a, tree_b
+        )
+
+    ext_old = state.params["extractor"]
+    ext_new = new_state.params["extractor"]
+    ch = changed(ext_old, ext_new)
+    leaves = jax.tree_util.tree_flatten_with_path(ch)[0]
+    for path, did_change in leaves:
+        key = "/".join(str(getattr(k, "key", k)) for k in path)
+        in_last2 = any(
+            p.startswith("block_") and int(p.split("_")[1]) >= 14
+            for p in key.split("/")
+        )
+        assert did_change == in_last2, f"{key}: changed={did_change}"
+    # head params must all train
+    head_ch = jax.tree.leaves(changed(state.params["head"], new_state.params["head"]))
+    assert all(head_ch)
