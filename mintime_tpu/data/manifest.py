@@ -1,8 +1,10 @@
 """CSV manifest handling (``video label 8_cls`` rows, train.py:197-224).
 
 Loads the reference's space-separated split files, prunes entries whose
-face folders are missing on disk, and supports the method-exclusion filter
-(train.py:205-224 drops rows whose 8_cls manipulation id is listed).
+face folders are missing on disk, and supports the ``--deepfake_methods``
+keep-only filter (train.py:217-224 drops every row whose 8_cls manipulation
+id is NOT listed — pass 0 to keep pristine videos) plus ``--max_videos``
+truncation (train.py:233-236).
 """
 
 from __future__ import annotations
@@ -29,7 +31,8 @@ class Manifest:
 def load_manifest(
     csv_path: str,
     data_path: str | None = None,
-    excluded_methods: list[int] | None = None,
+    deepfake_methods: list[int] | None = None,
+    max_videos: int = -1,
 ) -> Manifest:
     df = pd.read_csv(csv_path, sep=" ", names=COLUMNS)
     videos, labels, multiclass = [], [], []
@@ -38,11 +41,18 @@ def load_manifest(
         if data_path is not None and not os.path.isdir(os.path.join(data_path, video)):
             continue  # prune missing videos (train.py:202-204)
         cls8 = row["8_cls"]
-        if excluded_methods and not (
-            isinstance(cls8, float) and np.isnan(cls8)
-        ) and int(cls8) in excluded_methods:
-            continue
+        if deepfake_methods:
+            # keep-only filter (train.py:217-224): rows whose 8_cls is not
+            # listed are dropped (NaN 8_cls counts as not listed)
+            if (isinstance(cls8, float) and np.isnan(cls8)) or int(
+                cls8
+            ) not in deepfake_methods:
+                continue
         videos.append(video)
         labels.append(float(row["label"]))
         multiclass.append(float(cls8) if not pd.isna(cls8) else float("nan"))
+    if max_videos > -1:
+        videos = videos[:max_videos]
+        labels = labels[:max_videos]
+        multiclass = multiclass[:max_videos]
     return Manifest(videos, labels, multiclass)

@@ -122,6 +122,9 @@ def main(argv=None):
     p.add_argument("--identities_ordering", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--deepfake_methods", type=int, nargs="*", default=None,
+                   help="keep only these 8_cls method ids (test.py parity)")
+    p.add_argument("--max_videos", type=int, default=-1)
     opt = p.parse_args(argv)
 
     cfg = load_config(opt.config)
@@ -131,7 +134,9 @@ def main(argv=None):
     from mintime_tpu.models.classifier import MintimeVideoClassifier
     from mintime_tpu.utils.checkpoint import load_model_variables
 
-    man = load_manifest(opt.test_list_file, data_path=opt.data_path)
+    man = load_manifest(opt.test_list_file, data_path=opt.data_path,
+                        deepfake_methods=opt.deepfake_methods,
+                        max_videos=opt.max_videos)
     videos, labels, mc = man.videos, man.labels, man.multiclass
     if opt.only_multiidentity:
         keep = filter_multi_identity(videos, opt.data_path)

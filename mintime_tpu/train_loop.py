@@ -174,13 +174,24 @@ def main(argv=None):
     p.add_argument("--models_output_path", default="models_out")
     p.add_argument("--logger_name", default="runs/train")
     p.add_argument("--identities_ordering", type=int, default=0)
-    p.add_argument("--excluded_methods", type=int, nargs="*", default=None)
+    p.add_argument("--deepfake_methods", type=int, nargs="*", default=None,
+                   help="keep only these 8_cls method ids (train.py:217-224)")
+    p.add_argument("--max_videos", type=int, default=-1)
+    p.add_argument("--restore_epoch", action="store_true", default=False,
+                   help="parse the starting epoch out of the resume filename")
+    p.add_argument("--errors_logs_file", default=None)
     opt = p.parse_args(argv)
+    if opt.errors_logs_file:  # stderr redirect (train.py:96-98)
+        import sys
+
+        sys.stderr = open(opt.errors_logs_file, "w")
 
     cfg = load_config(opt.config)
     train_man = load_manifest(opt.train_list_file, data_path=opt.data_path,
-                              excluded_methods=opt.excluded_methods)
-    val_man = load_manifest(opt.validation_list_file, data_path=opt.data_path)
+                              deepfake_methods=opt.deepfake_methods,
+                              max_videos=opt.max_videos)
+    val_man = load_manifest(opt.validation_list_file, data_path=opt.data_path,
+                            max_videos=opt.max_videos)
     pos_weight = pos_weight_from_labels(train_man.labels)
     print(f"Train videos: {len(train_man)} Validation videos: {len(val_man)} "
           f"pos_weight {pos_weight:.4f}")
@@ -228,7 +239,8 @@ def main(argv=None):
     resume = opt.resume or latest_checkpoint(opt.models_output_path)
     if resume and os.path.exists(resume):
         state = restore_train_state(resume, state)
-        starting_epoch = epoch_from_name(resume) + 1
+        if opt.restore_epoch or not opt.resume:  # auto-resume keeps its epoch
+            starting_epoch = epoch_from_name(resume) + 1
         print(f"resumed {resume} at epoch {starting_epoch}")
 
     state, result = fit(

@@ -50,3 +50,25 @@ def test_roundtrip_to_reference_dict():
     d = cfg.as_reference_dict()
     assert d["model"]["mlp-dim"] == 512
     assert d["model"]["dim"] == 1280
+
+
+class TestManifestFilters:
+    def _write(self, tmp_path):
+        p = tmp_path / "list.csv"
+        rows = ["vid_a 0 0", "vid_b 1 3", "vid_c 1 5", "vid_d 0 0", "vid_e 1 3"]
+        p.write_text("\n".join(rows))
+        return str(p)
+
+    def test_deepfake_methods_keep_only(self, tmp_path):
+        """train.py:217-224: rows whose 8_cls is NOT listed are dropped."""
+        from mintime_tpu.data.manifest import load_manifest
+
+        man = load_manifest(self._write(tmp_path), deepfake_methods=[0, 3])
+        assert man.videos == ["vid_a", "vid_b", "vid_d", "vid_e"]
+
+    def test_max_videos_truncates(self, tmp_path):
+        from mintime_tpu.data.manifest import load_manifest
+
+        man = load_manifest(self._write(tmp_path), max_videos=2)
+        assert man.videos == ["vid_a", "vid_b"]
+        assert len(man.labels) == len(man.multiclass) == 2
