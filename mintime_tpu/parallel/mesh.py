@@ -57,3 +57,65 @@ def shard_batch(mesh: Mesh, batch):
     """Place a pytree of host arrays with the batch axis sharded on ``data``."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+# ---------------------------------------------------------------------------
+# Tensor parallelism (Megatron-style) over the ``model`` axis.
+#
+# The flagship model is ~25M params, so TP is never *required* — but the
+# mesh is designed so attention heads and FFN hidden units CAN shard when a
+# future variant outgrows a chip (SURVEY.md §2.5). Column-parallel first
+# matmul, row-parallel second: qkv_kernel / GEGLU's up-projection shard
+# their OUTPUT features (heads × dim_head, resp. 2·hidden — the GEGLU
+# val/gates split stays shard-aligned because both halves divide evenly),
+# proj_kernel / the down-projection shard their INPUT features, and XLA
+# inserts the single all-reduce per block that Megatron prescribes.
+# ---------------------------------------------------------------------------
+
+_TP_RULES: tuple[tuple[str, object], ...] = (
+    ("qkv_kernel", P(None, MODEL_AXIS)),
+    ("proj_kernel", P(MODEL_AXIS, None)),
+    ("proj_bias", P()),
+)
+
+
+def _tp_spec(path: str, ndim: int):
+    parts = path.split("/")
+    for key, spec in _TP_RULES:
+        if parts[-1] == key or (len(parts) > 1 and parts[-2] == key):
+            return spec
+    # GEGLU feed-forward: ff_<i>/Dense_0 column-parallel, Dense_1 row-parallel
+    if any(p.startswith("ff_") for p in parts):
+        if "Dense_0" in parts:
+            return P(None, MODEL_AXIS) if ndim == 2 else P(MODEL_AXIS)
+        if "Dense_1" in parts:
+            return P(MODEL_AXIS, None) if ndim == 2 else P()
+    return P()
+
+
+def state_shardings(state, mesh: Mesh):
+    """NamedSharding pytree for a train state (or any params-bearing pytree).
+
+    With ``model`` axis size 1 this degrades to fully-replicated (pure DP).
+    Path-string matching covers both ``params`` and the optimizer-state
+    trees that mirror them (momentum/adam moments reuse the param names).
+    """
+
+    def one(path, leaf):
+        key = "/".join(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+        ndim = getattr(leaf, "ndim", 0)
+        spec = _tp_spec(key, ndim)
+        if any(s is not None for s in spec) and (
+            ndim < len(spec) or not _divisible(leaf, spec, mesh)
+        ):
+            spec = P()  # scalar/odd-shaped leaf: replicate rather than fail
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, state)
+
+
+def _divisible(leaf, spec, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is not None and leaf.shape[dim] % mesh.shape[axis]:
+            return False
+    return True

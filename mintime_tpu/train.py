@@ -237,19 +237,27 @@ def make_eval_step(model: MintimeVideoClassifier, pos_weight: float = 1.0) -> Ca
     return eval_step
 
 
-def jit_steps(model, mesh, pos_weight):
-    """jit train/eval steps with explicit (replicated state, data-sharded
-    batch) shardings over the mesh."""
+def jit_steps(model, mesh, pos_weight, state: TrainState | None = None):
+    """jit train/eval steps with explicit shardings over the mesh: batch on
+    ``data``; state replicated, or Megatron-sharded over ``model`` when a
+    ``state`` is given and the mesh has a model axis > 1
+    (see parallel.mesh.state_shardings)."""
     rep, bsh = replicated(mesh), batch_sharding(mesh)
+    if state is not None and mesh.shape.get("model", 1) > 1:
+        from mintime_tpu.parallel.mesh import state_shardings
+
+        ssh = state_shardings(state, mesh)
+    else:
+        ssh = rep
     train_step = jax.jit(
         make_train_step(model, pos_weight),
-        in_shardings=(rep, bsh, rep),
-        out_shardings=(rep, rep),
+        in_shardings=(ssh, bsh, rep),
+        out_shardings=(ssh, rep),
         donate_argnums=(0,),
     )
     eval_step = jax.jit(
         make_eval_step(model, pos_weight),
-        in_shardings=(rep, bsh),
+        in_shardings=(ssh, bsh),
         out_shardings=rep,
     )
     return train_step, eval_step

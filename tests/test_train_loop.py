@@ -182,3 +182,28 @@ def test_extractor_unfreeze_mask(faces_dir):
     # head params must all train
     head_ch = jax.tree.leaves(changed(state.params["head"], new_state.params["head"]))
     assert all(head_ch)
+
+
+@pytest.mark.slow
+def test_tensor_parallel_matches_data_parallel(faces_dir):
+    """dp4×tp2 Megatron sharding computes the same loss as pure dp4."""
+    from mintime_tpu.parallel.mesh import state_shardings
+    from mintime_tpu.train import jit_steps
+
+    cfg = MintimeConfig(model=SMALL, training=TrainingConfig(bs=4, val_bs=4, lr=0.05))
+    model = MintimeVideoClassifier(SMALL, backbone="efficientnet-b0", head="timesformer")
+
+    losses = {}
+    for tp in (1, 2):
+        mesh = make_mesh(jax.devices()[:4], model_parallel=tp)
+        loader = make_loader(faces_dir, "val", mesh=mesh, bs=4)
+        with jax.set_mesh(mesh):
+            batch = next(iter(loader))
+            state = create_train_state(jax.random.key(0), model, batch, cfg)
+            if tp > 1:
+                state = jax.device_put(state, state_shardings(state, mesh))
+            train_step, eval_step = jit_steps(model, mesh, pos_weight=1.0, state=state)
+            state, metrics = train_step(state, batch, jax.random.key(1))
+            out = eval_step(state, batch)
+            losses[tp] = (float(metrics["loss"]), float(out["loss"]))
+    np.testing.assert_allclose(losses[1], losses[2], rtol=1e-5)
