@@ -22,7 +22,6 @@ from __future__ import annotations
 import multiprocessing as mp
 import os
 import queue
-import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, Sequence
@@ -117,7 +116,7 @@ class DataLoader:
         ctx = mp.get_context("fork")
         nw = min(self.num_workers, len(batches))
         task_q = ctx.SimpleQueue()
-        out_q = ctx.SimpleQueue()
+        out_q = ctx.Queue()
         workers = [
             ctx.Process(
                 target=_worker_loop, args=(self.dataset, task_q, out_q), daemon=True
@@ -137,7 +136,17 @@ class DataLoader:
                 submitted += 1
             while next_seq < len(batches):
                 while next_seq not in pending:
-                    seq, item, err = out_q.get()
+                    try:
+                        seq, item, err = out_q.get(timeout=30.0)
+                    except queue.Empty:
+                        # a worker killed by the OS (OOM, segfault in native
+                        # decode) never replies — fail loudly, don't hang
+                        dead = [w.pid for w in workers if not w.is_alive()]
+                        if dead:
+                            raise RuntimeError(
+                                f"loader worker(s) died: pids {dead}"
+                            )
+                        continue
                     if err is not None:
                         raise RuntimeError(f"loader worker failed: {err}")
                     pending[seq] = item

@@ -125,6 +125,9 @@ def main(argv=None):
     p.add_argument("--deepfake_methods", type=int, nargs="*", default=None,
                    help="keep only these 8_cls method ids (test.py parity)")
     p.add_argument("--max_videos", type=int, default=-1)
+    p.add_argument("--fused_attention", action="store_true", default=False,
+                   help="Pallas fused attention (faster; bf16-kernel numerics"
+                        " differ ~1e-2 from the XLA path used at train time)")
     opt = p.parse_args(argv)
 
     cfg = load_config(opt.config)
@@ -152,7 +155,7 @@ def main(argv=None):
         head=head,
         require_attention=opt.save_attentions,
         dtype=jnp.bfloat16,
-        use_pallas=True,  # inference-only: fused divided-attention kernel
+        use_pallas=opt.fused_attention,  # default: train-time XLA numerics
     )
     variables = load_model_variables(
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights

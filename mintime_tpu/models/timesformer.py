@@ -41,11 +41,7 @@ import jax.numpy as jnp
 
 from mintime_tpu.config import ModelConfig
 from mintime_tpu.data.assembler import NUM_SIZE_BUCKETS
-from mintime_tpu.ops.attention import (
-    build_cls_mask,
-    build_frame_mask,
-    grouped_attention_with_cls,
-)
+from mintime_tpu.ops.attention import build_frame_mask, grouped_attention_with_cls
 
 _INIT = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
@@ -106,7 +102,9 @@ class DividedAttention(nn.Module):
         H, dh = self.heads, self.dim_head
         inner = H * dh
         # packed projections as raw params (reference to_qkv/to_out,
-        # :102,141) so the Pallas kernel can consume them directly
+        # :102,141) so the Pallas kernel can consume them directly; qkv
+        # columns are HEAD-major — (H, [q|k|v], dh) — so tensor-parallel
+        # column shards hold whole heads (parallel/mesh.py TP rules)
         w_qkv = self.param("qkv_kernel", _INIT, (D, inner * 3))
         w_proj = self.param("proj_kernel", _INIT, (inner, self.dim))
         b_proj = self.param("proj_bias", nn.initializers.zeros, (self.dim,))
@@ -133,8 +131,7 @@ class DividedAttention(nn.Module):
                 else None
             )
             row_bias = (
-                jnp.where(cls_mask, 0.0, -0.7 * jnp.finfo(jnp.float32).max)
-                .astype(jnp.float32)[:, :, None]  # (B, f, 1)
+                mask_to_bias(cls_mask)[:, :, None]  # (B, f, 1)
                 if cls_mask is not None
                 else None
             )
@@ -154,15 +151,16 @@ class DividedAttention(nn.Module):
         # ---- XLA path (also the attention-map path): project straight into
         # the grouped (B, H, G, L, d) layout — ONE fused matmul+relayout per
         # tensor instead of the reference's transpose chain
-        w3 = cast(w_qkv).reshape(D, 3, H, dh)
+        # head-major packed columns (H, [q|k|v], dh) — see qkv_kernel note
+        w3 = cast(w_qkv).reshape(D, H, 3, dh)
         spec = "bfnd,dhe->bhnfe" if axis == "time" else "bfnd,dhe->bhfne"
-        q_g = jnp.einsum(spec, x_tok, w3[:, 0]) * scale  # (B, H, G, L, d)
-        k_g = jnp.einsum(spec, x_tok, w3[:, 1])
-        v_g = jnp.einsum(spec, x_tok, w3[:, 2])
+        q_g = jnp.einsum(spec, x_tok, w3[:, :, 0]) * scale  # (B, H, G, L, d)
+        k_g = jnp.einsum(spec, x_tok, w3[:, :, 1])
+        v_g = jnp.einsum(spec, x_tok, w3[:, :, 2])
         xc = x_cls[:, 0]  # (B, D)
-        q_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, 0]) * scale
-        k_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, 1])
-        v_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, 2])
+        q_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, :, 0]) * scale
+        k_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, :, 1])
+        v_cls = jnp.einsum("bd,dhe->bhe", xc, w3[:, :, 2])
 
         # CLS row: attends to all tokens + itself (reference :117-120).
         # Softmax is order-independent, so compute it in grouped layout.

@@ -33,23 +33,6 @@ def _masked_softmax(logits: jnp.ndarray, mask: jnp.ndarray | None) -> jnp.ndarra
     return unnorm / jnp.sum(unnorm, axis=-1, keepdims=True)
 
 
-def cls_attention(q_cls, k, v, cls_mask):
-    """CLS row: attend to every token across time and space.
-
-    Args:
-      q_cls: (B, H, 1, d) pre-scaled CLS queries.
-      k, v:  (B, H, N, d) with N = 1 + F*n.
-      cls_mask: (B, N) bool or None.
-
-    Returns (out (B, H, 1, d), attn (B, H, 1, N) fp32).
-    """
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q_cls, k)
-    mask = cls_mask[:, None, None, :] if cls_mask is not None else None
-    attn = _masked_softmax(logits, mask)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
-    return out, attn
-
-
 def grouped_attention_with_cls(q_g, k_g, v_g, k_cls, v_cls, mask):
     """Attention within groups (time or space), each group augmented with CLS.
 
@@ -86,11 +69,3 @@ def build_frame_mask(mask: jnp.ndarray, identities_mask: jnp.ndarray | None) -> 
     if identities_mask is not None:
         fm = jnp.logical_and(fm, identities_mask)
     return jnp.concatenate([jnp.ones((b, f, 1), dtype=bool), fm], axis=-1)
-
-
-def build_cls_mask(mask: jnp.ndarray, num_patches: int) -> jnp.ndarray:
-    """CLS-attention mask ``(B, 1 + F*n)``: CLS always True, token k valid iff
-    its frame is valid (reference :258-260)."""
-    b = mask.shape[0]
-    tok = jnp.repeat(mask, num_patches, axis=-1)
-    return jnp.concatenate([jnp.ones((b, 1), dtype=bool), tok], axis=-1)

@@ -143,7 +143,11 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
     rbias = rbias_ref[0]  # (f, 1) fp32, or (1, 1) zeros
 
     for h in range(heads):
-        oq, ok, ov = h * dim_head, inner + h * dim_head, 2 * inner + h * dim_head
+        # head-major packing (H, [q|k|v], dh): contiguous column shards of
+        # the qkv kernel are whole heads (Megatron TP-alignable)
+        oq = h * 3 * dim_head
+        ok, ov = oq + dim_head, oq + 2 * dim_head
+        oo = h * dim_head  # output column offset (width = inner)
         qt = qkv[:, :, oq:oq + dim_head] * scale  # (f, n, dh)
         kt = qkv[:, :, ok:ok + dim_head]
         vt = qkv[:, :, ov:ov + dim_head]
@@ -177,7 +181,7 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
         og = og + attn[..., :1].astype(jnp.float32) * vc[0].astype(jnp.float32)[None, None]
         if axis == "time":
             og = og.swapaxes(0, 1)  # back to (f, n, dh)
-        otok_ref[0, :, :, oq:oq + dim_head] = og.astype(otok_ref.dtype)
+        otok_ref[0, :, :, oo:oo + dim_head] = og.astype(otok_ref.dtype)
 
         # ---- CLS row: attends to every token (order-independent softmax)
         lr = jnp.sum(
@@ -198,7 +202,7 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
             pr[:, :, None] * vt.astype(jnp.float32), axis=(0, 1), keepdims=True
         )[0]  # (1, dh)
         co = (acc + ps * vc.astype(jnp.float32)) / z
-        ocls_ref[0, :, oq:oq + dim_head] = co.astype(ocls_ref.dtype)
+        ocls_ref[0, :, oo:oo + dim_head] = co.astype(ocls_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("axis", "heads", "dim_head"))
@@ -207,8 +211,9 @@ def divided_attention(qkv_tok, qkv_cls, frame_bias, row_bias, *, axis: str,
     """Divided space/time attention from packed natural-layout qkv.
 
     Args:
-      qkv_tok: (B, f, n, 3*inner) packed [q|k|v] token projections
-        (pre-scale; the kernel applies dim_head**-0.5 to q).
+      qkv_tok: (B, f, n, 3*inner) head-major packed token projections —
+        columns ordered (head, [q|k|v], dim_head) so TP column-shards are
+        whole heads (pre-scale; the kernel applies dim_head**-0.5 to q).
       qkv_cls: (B, 1, 3*inner) CLS projections.
       frame_bias: (B, f, 1+f) fp32 additive time mask (column 0 = CLS key)
         or None; only used for ``axis='time'``.

@@ -278,6 +278,15 @@ def main(argv=None):
     p.add_argument("--facenet_weights", default=None)
     p.add_argument("--output_type", type=int, default=0, help="0 prob | 1 video")
     p.add_argument("--save_attentions", action="store_true")
+    # interface-parity flags (predict.py:486-508). FacenetDetector is the
+    # only detector the reference ships; prediction here is deterministic
+    # and single-video, so seed/workers are accepted but have no effect.
+    p.add_argument("--detector_type", default="FacenetDetector",
+                   choices=["FacenetDetector"])
+    p.add_argument("--random_state", type=int, default=42,
+                   help="(reference CLI compatibility; prediction is deterministic)")
+    p.add_argument("--workers", type=int, default=1,
+                   help="(reference CLI compatibility; unused)")
     opt = p.parse_args(argv)
 
     cfg = load_config(opt.config)

@@ -117,33 +117,40 @@ def make_optimizer(
     return tx
 
 
-def extractor_unfreeze_mask(unfreeze_blocks: int, total_blocks: int = 16):
+def extractor_unfreeze_mask(unfreeze_blocks: int):
     """Reference partial-unfreeze policy (train.py:152-170): with
     ``--extractor_unfreeze_blocks k > -1``, ONLY the extractor's last ``k``
-    of ``total_blocks`` MBConv blocks receive gradients (stem/head and every
-    other extractor param frozen); all non-extractor params stay trainable.
+    blocks receive gradients (stem/head and every other extractor param
+    frozen); all non-extractor params stay trainable.
 
-    Returns a callable for :func:`make_optimizer`'s ``trainable_mask``.
+    The block count is discovered from the param tree itself — EfficientNet
+    has block_0..block_15, Xception block_1..block_12 — so the cutoff is
+    backbone-agnostic. Returns a callable for :func:`make_optimizer`'s
+    ``trainable_mask``.
     """
-
-    def is_trainable(path_key: str) -> bool:
-        parts = path_key.split("/")
-        if "extractor" not in parts:
-            return True
-        for p in parts:
-            if p.startswith("block_"):
-                return int(p.split("_")[1]) >= total_blocks - unfreeze_blocks
-        return False  # extractor stem/head/bn outside blocks
 
     def mask(params):
         import jax
 
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         treedef = jax.tree_util.tree_structure(params)
-        vals = [
-            is_trainable("/".join(str(getattr(k, "key", k)) for k in path))
-            for path, _ in flat
-        ]
+
+        def path_str(path):
+            return "/".join(str(getattr(k, "key", k)) for k in path)
+
+        def block_idx(path_key: str) -> int | None:
+            parts = path_key.split("/")
+            if "extractor" not in parts:
+                return None
+            for p in parts:
+                if p.startswith("block_"):
+                    return int(p.split("_")[1])
+            return -1  # extractor stem/head outside blocks: always frozen
+
+        indices = [block_idx(path_str(p)) for p, _ in flat]
+        present = sorted({i for i in indices if i is not None and i >= 0})
+        kept = set(present[len(present) - min(unfreeze_blocks, len(present)):])
+        vals = [i is None or i in kept for i in indices]
         return jax.tree_util.tree_unflatten(treedef, vals)
 
     return mask

@@ -86,6 +86,10 @@ def op_stats(trace_dir: str, top: int = 20) -> list[dict]:
     table = d[0] if isinstance(d, list) else d
     cols = [c["label"] for c in table["cols"]]
     idx = {label: i for i, label in enumerate(cols)}
+    def col(c, label):
+        i = idx.get(label)
+        return c[i] if i is not None else None
+
     out = []
     for r in table["rows"]:
         c = [x.get("v") for x in r["c"]]
@@ -94,9 +98,9 @@ def op_stats(trace_dir: str, top: int = 20) -> list[dict]:
                 "name": c[idx["Operation Name"]],
                 "type": c[idx["Operation Type"]],
                 "self_ms": (c[idx["Total self-time (us)"]] or 0) / 1e3,
-                "flop_rate_gs": c[idx.get("Model FLOP Rate (GFLOP/s)", 0)],
-                "bw_gbs": c[idx.get("Measured Memory BW (GBytes/Sec)", 0)],
-                "bound_by": c[idx.get("Bound by", 0)],
+                "flop_rate_gs": col(c, "Model FLOP Rate (GFLOP/s)"),
+                "bw_gbs": col(c, "Measured Memory BW (GBytes/Sec)"),
+                "bound_by": col(c, "Bound by"),
             }
         )
     out.sort(key=lambda o: -o["self_ms"])

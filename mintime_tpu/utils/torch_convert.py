@@ -175,8 +175,19 @@ def timesformer_params_from_torch(
         for j, kind in ((0, "time"), (1, "space")):
             base = f"layers.{i}.{j}"
             params[f"{kind}_norm_{i}"] = _layernorm(sd, f"{base}.norm")
+            wq = _linear_nobias(sd, f"{base}.fn.to_qkv")["kernel"]  # (D, 3*H*dh)
+            D_in = wq.shape[0]
+            dh = config.dim_head
+            H = config.heads
+            # torch packs [q|k|v] each head-major; our layout is head-major
+            # (H, [q|k|v], dh) so TP column shards are whole heads
+            wq = (
+                wq.reshape(D_in, 3, H, dh)
+                .transpose(0, 2, 1, 3)
+                .reshape(D_in, 3 * H * dh)
+            )
             params[f"{kind}_attn_{i}"] = {
-                "qkv_kernel": _linear_nobias(sd, f"{base}.fn.to_qkv")["kernel"],
+                "qkv_kernel": wq,
                 "proj_kernel": _linear(sd, f"{base}.fn.to_out.0")["kernel"],
                 "proj_bias": _np(sd[f"{base}.fn.to_out.0.bias"]),
             }

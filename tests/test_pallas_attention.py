@@ -82,13 +82,14 @@ def test_divided_attention_kernel(axis):
     )
 
     # reference: grouped XLA attention on the unpacked tensors
-    w = qkv4.reshape(B, f, n, 3, H, dh)
+    # (head-major packing: columns ordered (H, [q|k|v], dh))
+    w = qkv4.reshape(B, f, n, H, 3, dh)
     spec = (0, 3, 2, 1, 4) if axis == "time" else (0, 3, 1, 2, 4)
-    q_g = np.transpose(w[..., 0, :, :], spec) * dh ** -0.5
-    k_g = np.transpose(w[..., 1, :, :], spec)
-    v_g = np.transpose(w[..., 2, :, :], spec)
-    wc = qkv4c = qkvc.reshape(B, 3, H, dh)
-    kc, vc = wc[:, 1][:, :, None], wc[:, 2][:, :, None]
+    q_g = np.transpose(w[..., 0, :], spec) * dh ** -0.5
+    k_g = np.transpose(w[..., 1, :], spec)
+    v_g = np.transpose(w[..., 2, :], spec)
+    wc = qkvc.reshape(B, H, 3, dh)
+    kc, vc = wc[:, :, 1][:, :, None], wc[:, :, 2][:, :, None]
     gmask = jnp.asarray(fm)[:, None] if axis == "time" else None
     ref_g = grouped_attention_with_cls(
         jnp.asarray(q_g), jnp.asarray(k_g), jnp.asarray(v_g), kc, vc, gmask
@@ -98,18 +99,18 @@ def test_divided_attention_kernel(axis):
     np.testing.assert_allclose(np.asarray(out_tok), ref_tok, atol=2e-2, rtol=2e-2)
 
     # CLS row reference: full softmax over all tokens + self
-    qc = wc[:, 0] * dh ** -0.5  # (B, H, dh)
-    k_tok = w[..., 1, :, :].reshape(B, f * n, H, dh)
-    v_tok = w[..., 2, :, :].reshape(B, f * n, H, dh)
+    qc = wc[:, :, 0] * dh ** -0.5  # (B, H, dh)
+    k_tok = w[..., 1, :].reshape(B, f * n, H, dh)
+    v_tok = w[..., 2, :].reshape(B, f * n, H, dh)
     lt = np.einsum("bhd,bthd->bht", qc, k_tok)
     lt[~np.repeat(mask, n, -1)[:, None, :].repeat(H, 1)] = -np.inf
-    ls = np.einsum("bhd,bhd->bh", qc, wc[:, 1])
+    ls = np.einsum("bhd,bhd->bh", qc, wc[:, :, 1])
     lall = np.concatenate([ls[:, :, None], lt], -1)
     p = np.exp(lall - lall.max(-1, keepdims=True))
     p /= p.sum(-1, keepdims=True)
     ref_cls = np.einsum("bht,bthd->bhd", p[:, :, 1:], v_tok) + p[:, :, 0][
         :, :, None
-    ] * wc[:, 2]
+    ] * wc[:, :, 2]
     np.testing.assert_allclose(
         np.asarray(out_cls)[:, 0], ref_cls.reshape(B, inner), atol=2e-2, rtol=2e-2
     )
