@@ -15,8 +15,8 @@ from typing import Sequence
 
 import numpy as np
 
-from mintime_tpu.config import MintimeConfig, load_config
-from mintime_tpu.utils.metrics import evaluation_report, sigmoid
+from mintime_tpu.config import load_config
+from mintime_tpu.utils.metrics import evaluation_report
 from mintime_tpu.train import bce_with_logits
 
 

@@ -17,8 +17,8 @@ per-identity attention, optional annotated ``.avi``.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Any, Sequence
+from dataclasses import dataclass
+from typing import Any
 
 import numpy as np
 

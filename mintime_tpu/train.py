@@ -18,9 +18,7 @@ Optimizer/schedule parity (train.py:185-193, 278-291):
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, Iterable, Mapping
+from typing import Any, Callable, Mapping
 
 import jax
 import jax.numpy as jnp
@@ -29,12 +27,7 @@ from flax import core, struct
 
 from mintime_tpu.config import MintimeConfig
 from mintime_tpu.models.classifier import MintimeVideoClassifier
-from mintime_tpu.parallel.mesh import (
-    batch_sharding,
-    make_mesh,
-    replicated,
-    shard_batch,
-)
+from mintime_tpu.parallel.mesh import batch_sharding, replicated
 
 
 class TrainState(struct.PyTreeNode):
