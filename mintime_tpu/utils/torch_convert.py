@@ -198,3 +198,108 @@ def timesformer_params_from_torch(
             "Dense_1": _linear(sd, f"{base}.fn.net.3"),
         }
     return params
+
+
+# ---------------------------------------------------------------------------
+# Export: Flax params → the reference's torch state_dict format, so weights
+# trained on TPU load straight into the PyTorch reference (the inverse of
+# timesformer_params_from_torch; train.py:460-464 Model_checkpoint files).
+# ---------------------------------------------------------------------------
+
+
+def timesformer_params_to_torch(params, config: ModelConfig) -> dict:
+    """Inverse of :func:`timesformer_params_from_torch`.
+
+    Returns a numpy state_dict with the reference's key names and layouts:
+    Linear weights transposed back to (out, in), qkv columns permuted from
+    our head-major packing to torch's [q|k|v]-major, and the embedding
+    tables zero-padded back to the reference's oversized
+    ``num_frames * channels + 1`` rows (size_invariant_timesformer.py:174-180;
+    the extra rows are never indexed, so zeros are behavior-identical).
+    """
+    F, n = config.num_frames, config.num_patches
+    H, dh = config.heads, config.dim_head
+    dim = config.dim
+    ref_rows = config.num_frames * config.channels + 1
+
+    def pad_rows(table):
+        table = _np(table)
+        out = np.zeros((max(ref_rows, table.shape[0]), table.shape[1]), table.dtype)
+        out[: table.shape[0]] = table
+        return out
+
+    def linear(prefix, leaf):
+        return {f"{prefix}.weight": _np(leaf["kernel"]).T,
+                f"{prefix}.bias": _np(leaf["bias"])}
+
+    def layernorm(prefix, leaf):
+        return {f"{prefix}.weight": _np(leaf["scale"]),
+                f"{prefix}.bias": _np(leaf["bias"])}
+
+    sd: dict = {
+        "cls_token": _np(params["cls_token"]),
+        "pos_emb.weight": pad_rows(params["pos_emb"]["embedding"]),
+        **linear("to_patch_embedding", params["to_patch_embedding"]),
+        **layernorm("to_out.0", params["out_norm"]),
+        **linear("to_out.1", params["out_proj"]),
+    }
+    if config.enable_size_emb and "size_emb" in params:
+        sd["size_emb.weight"] = pad_rows(params["size_emb"]["embedding"])
+    for i in range(config.depth):
+        for j, kind in ((0, "time"), (1, "space")):
+            base = f"layers.{i}.{j}"
+            attn = params[f"{kind}_attn_{i}"]
+            wq = _np(attn["qkv_kernel"])  # (D, H*3*dh) head-major
+            D_in = wq.shape[0]
+            wq = (
+                wq.reshape(D_in, H, 3, dh)
+                .transpose(0, 2, 1, 3)  # back to torch's [q|k|v] packing
+                .reshape(D_in, 3 * H * dh)
+            )
+            sd[f"{base}.fn.to_qkv.weight"] = wq.T
+            sd[f"{base}.fn.to_out.0.weight"] = _np(attn["proj_kernel"]).T
+            sd[f"{base}.fn.to_out.0.bias"] = _np(attn["proj_bias"])
+            sd.update(layernorm(f"{base}.norm", params[f"{kind}_norm_{i}"]))
+        base = f"layers.{i}.2"
+        sd.update(layernorm(f"{base}.norm", params[f"ff_norm_{i}"]))
+        sd.update(linear(f"{base}.fn.net.0", params[f"ff_{i}"]["Dense_0"]))
+        sd.update(linear(f"{base}.fn.net.3", params[f"ff_{i}"]["Dense_1"]))
+    return sd
+
+
+def efficientnet_params_to_torch(variables, variant: str = "efficientnet-b0") -> dict:
+    """Inverse of :func:`efficientnet_params_from_torch` (reference
+    Extractor_checkpoint format, keys ``_conv_stem``/``_blocks.{i}...``)."""
+    from mintime_tpu.models.efficientnet import expand_blocks
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+
+    def conv(prefix, leaf):
+        sd[f"{prefix}.weight"] = _np(leaf["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in leaf:
+            sd[f"{prefix}.bias"] = _np(leaf["bias"])
+
+    def bn(prefix, pleaf, sleaf):
+        sd[f"{prefix}.weight"] = _np(pleaf["scale"])
+        sd[f"{prefix}.bias"] = _np(pleaf["bias"])
+        sd[f"{prefix}.running_mean"] = _np(sleaf["mean"])
+        sd[f"{prefix}.running_var"] = _np(sleaf["var"])
+
+    conv("_conv_stem", params["conv_stem"])
+    bn("_bn0", params["bn_stem"], stats["bn_stem"])
+    for i, ba in enumerate(expand_blocks(variant)):
+        blk, bst = params[f"block_{i}"], stats[f"block_{i}"]
+        if ba.expand != 1:
+            conv(f"_blocks.{i}._expand_conv", blk["expand_conv"])
+            bn(f"_blocks.{i}._bn0", blk["bn0"], bst["bn0"])
+        conv(f"_blocks.{i}._depthwise_conv", blk["depthwise_conv"])
+        bn(f"_blocks.{i}._bn1", blk["bn1"], bst["bn1"])
+        conv(f"_blocks.{i}._se_reduce", blk["se_reduce"])
+        conv(f"_blocks.{i}._se_expand", blk["se_expand"])
+        conv(f"_blocks.{i}._project_conv", blk["project_conv"])
+        bn(f"_blocks.{i}._bn2", blk["bn2"], bst["bn2"])
+    conv("_conv_head", params["conv_head"])
+    bn("_bn1", params["bn_head"], stats["bn_head"])
+    return sd

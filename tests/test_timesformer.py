@@ -184,3 +184,55 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(time_a), t_attn[1].numpy(), rtol=1e-4, atol=1e-5
         )
+
+
+def test_torch_export_roundtrip():
+    """params → reference state_dict → params is the identity."""
+    from mintime_tpu.utils.torch_convert import (
+        timesformer_params_from_torch,
+        timesformer_params_to_torch,
+    )
+
+    cfg = SMALL
+    x, mask, id_mask, size_emb, positions = make_inputs(cfg)
+    model = SizeInvariantTimeSformer(cfg)
+    params = init_params(model, x, mask, id_mask, size_emb, positions)["params"]
+    sd = timesformer_params_to_torch(params, cfg)
+    back = timesformer_params_from_torch(sd, cfg)
+
+    flat_a = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    keys_a = {tuple(str(k) for k in p) for p, _ in flat_a}
+    keys_b = {tuple(str(k) for k in p) for p, _ in flat_b}
+    assert keys_a == keys_b
+    b_by_key = {tuple(str(k) for k in p): v for p, v in flat_b}
+    for p, v in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(v), np.asarray(b_by_key[tuple(str(k) for k in p)]),
+            err_msg=str(p),
+        )
+
+
+def test_efficientnet_export_roundtrip():
+    from mintime_tpu.models.efficientnet import EfficientNet
+    from mintime_tpu.utils.torch_convert import (
+        efficientnet_params_from_torch,
+        efficientnet_params_to_torch,
+    )
+
+    bb = EfficientNet("efficientnet-b0")
+    variables = jax.jit(bb.init, static_argnames=("train",))(
+        jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32), train=False
+    )
+    sd = efficientnet_params_to_torch(variables)
+    back = efficientnet_params_from_torch(sd)
+    for coll in ("params", "batch_stats"):
+        flat_a = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        b_flat = {tuple(str(k) for k in p): v
+                  for p, v in jax.tree_util.tree_flatten_with_path(back[coll])[0]}
+        assert len(flat_a) == len(b_flat)
+        for p, v in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(b_flat[tuple(str(k) for k in p)]),
+                err_msg=str(p),
+            )
