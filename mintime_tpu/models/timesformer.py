@@ -121,24 +121,25 @@ class DividedAttention(nn.Module):
                 mask_to_bias,
             )
 
-            # qkv in the natural (B, f, n, 3*inner) layout — a pure matmul,
-            # no transposes; the kernel does all regrouping in VMEM
+            # qkv in the natural (B, f, n, 3*inner) layout — a pure matmul;
+            # the time axis takes ONE XLA transpose into grouped layout
+            # (cheaper than per-head VMEM swaps inside the kernel)
             qkv_tok = jnp.einsum("bfnd,dc->bfnc", x_tok, cast(w_qkv))
             qkv_cls = x_cls[:, 0] @ cast(w_qkv)  # (B, 3*inner)
-            frame_bias = (
-                mask_to_bias(frame_mask)
-                if axis == "time" and frame_mask is not None
-                else None
+            rbias = mask_to_bias(cls_mask) if cls_mask is not None else None
+            if axis == "time":  # groups = n patches, seq = f frames
+                qkv_g = qkv_tok.swapaxes(1, 2)
+                seq_bias = mask_to_bias(frame_mask) if frame_mask is not None else None
+                row_bias = rbias[:, None, :] if rbias is not None else None
+            else:  # groups = f frames, seq = n patches
+                qkv_g = qkv_tok
+                seq_bias = None
+                row_bias = rbias[:, :, None] if rbias is not None else None
+            o_g, o_cls = divided_attention(
+                qkv_g, qkv_cls[:, None], seq_bias, row_bias,
+                heads=H, dim_head=dh,
             )
-            row_bias = (
-                mask_to_bias(cls_mask)[:, :, None]  # (B, f, 1)
-                if cls_mask is not None
-                else None
-            )
-            o_tok, o_cls = divided_attention(
-                qkv_tok, qkv_cls[:, None], frame_bias, row_bias,
-                axis=axis, heads=H, dim_head=dh,
-            )
+            o_tok = o_g.swapaxes(1, 2) if axis == "time" else o_g
             out_tok = jnp.einsum("bfni,ic->bfnc", o_tok, cast(w_proj)) + cast(b_proj)
             out_cls = o_cls @ cast(w_proj) + cast(b_proj)
             drop = nn.Dropout(self.dropout)

@@ -118,29 +118,29 @@ def mask_to_bias(mask) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# v2: whole divided attention (token rows + CLS row) from natural-layout
-# packed qkv, one kernel per (batch) grid cell.
+# v2: whole divided attention (token rows + CLS row) from packed grouped
+# qkv, one kernel per (batch) grid cell.
 #
-# The qkv projection stays an XLA matmul with NO transposed output —
-# ``(B, f, n, 3·inner)`` is its natural layout — and every regrouping
-# (per-head lane slice, frame↔patch swap for the time axis) happens on
-# VMEM-resident data inside the kernel. Mosaic constraint driving the
-# design: sublane reshapes like (784, d) → (16, 49, d) are unsupported, but
-# leading-axis swaps of 3-D tiles and 64-wide lane slices are fine (probed
-# on v5e). HBM traffic per layer ≈ read qkv + write out, ~6× less than the
-# grouped-einsum XLA path.
+# The qkv projection stays an XLA matmul with NO transposed output; the
+# caller hands the kernel a (B, G, L, 3*inner) grouped layout — for the
+# space axis that IS the natural (B, F, n, ·) layout, for the time axis
+# one XLA transpose to (B, n, F, ·) (cheaper than per-head VMEM swaps,
+# measured on v5e). Per-head lane slicing happens on VMEM-resident data.
+# Mosaic constraint driving the design: sublane reshapes like
+# (784, d) → (16, 49, d) are unsupported, while 64-wide lane slices are
+# fine (probed on v5e). HBM traffic per layer ≈ read qkv + write out,
+# ~6× less than the grouped-einsum XLA path.
 # ---------------------------------------------------------------------------
 
 
-def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
-                    ocls_ref, *, axis: str, heads: int, dim_head: int):
-    f, n = qkv_ref.shape[1], qkv_ref.shape[2]
+def _divided_kernel(qkv_ref, qkvc_ref, sbias_ref, rbias_ref, otok_ref,
+                    ocls_ref, *, heads: int, dim_head: int):
     inner = heads * dim_head
     scale = dim_head ** -0.5
-    qkv = qkv_ref[0]  # (f, n, 3*inner)
+    qkv = qkv_ref[0]  # (G, L, 3*inner)
     qkvc = qkvc_ref[0]  # (1, 3*inner)
-    fbias = fbias_ref[0]  # (f, 1+f) fp32, or (1, 1) zeros
-    rbias = rbias_ref[0]  # (f, 1) fp32, or (1, 1) zeros
+    sbias = sbias_ref[0]  # (L, 1+L) fp32 shared over groups, or (1, 1) zeros
+    rbias = rbias_ref[0]  # CLS-row bias broadcastable to (G, L), or (1, 1)
 
     for h in range(heads):
         # head-major packing (H, [q|k|v], dh): contiguous column shards of
@@ -148,18 +148,14 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
         oq = h * 3 * dim_head
         ok, ov = oq + dim_head, oq + 2 * dim_head
         oo = h * dim_head  # output column offset (width = inner)
-        qt = qkv[:, :, oq:oq + dim_head] * scale  # (f, n, dh)
-        kt = qkv[:, :, ok:ok + dim_head]
-        vt = qkv[:, :, ov:ov + dim_head]
+        qg = qkv[:, :, oq:oq + dim_head] * scale  # (G, L, dh)
+        kg = qkv[:, :, ok:ok + dim_head]
+        vg = qkv[:, :, ov:ov + dim_head]
         qc = qkvc[:, oq:oq + dim_head] * scale  # (1, dh)
         kc = qkvc[:, ok:ok + dim_head]
         vc = qkvc[:, ov:ov + dim_head]
 
         # ---- token rows: grouped attention + CLS key column
-        if axis == "time":  # groups = n patches, seq = f frames
-            qg, kg, vg = (t.swapaxes(0, 1) for t in (qt, kt, vt))
-        else:  # groups = f frames, seq = n patches
-            qg, kg, vg = qt, kt, vt
         logits_tok = jax.lax.dot_general(
             qg, kg, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
@@ -169,8 +165,7 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
             axis=-1, keepdims=True,
         )  # (G, L, 1)
         logits = jnp.concatenate([logits_cls, logits_tok], axis=-1)
-        if axis == "time":
-            logits = logits + fbias[None]  # (f, 1+f) shared over groups
+        logits = logits + sbias[None]  # (L, 1+L) shared over groups
         m = jnp.max(logits, axis=-1, keepdims=True)
         p = jnp.exp(logits - m)
         attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vg.dtype)
@@ -179,15 +174,13 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
             preferred_element_type=jnp.float32,
         )
         og = og + attn[..., :1].astype(jnp.float32) * vc[0].astype(jnp.float32)[None, None]
-        if axis == "time":
-            og = og.swapaxes(0, 1)  # back to (f, n, dh)
         otok_ref[0, :, :, oo:oo + dim_head] = og.astype(otok_ref.dtype)
 
         # ---- CLS row: attends to every token (order-independent softmax)
         lr = jnp.sum(
-            qc[0].astype(jnp.float32)[None, None, :] * kt.astype(jnp.float32),
+            qc[0].astype(jnp.float32)[None, None, :] * kg.astype(jnp.float32),
             axis=-1,
-        ) + rbias  # (f, n) + (f, 1) frame-validity bias
+        ) + rbias  # (G, L) + broadcastable token-validity bias
         ls = jnp.sum(
             qc.astype(jnp.float32) * kc.astype(jnp.float32), axis=-1,
             keepdims=True,
@@ -196,48 +189,48 @@ def _divided_kernel(qkv_ref, qkvc_ref, fbias_ref, rbias_ref, otok_ref,
         pr = jnp.exp(lr - m)
         ps = jnp.exp(ls - m)
         z = jnp.sum(pr, axis=(0, 1), keepdims=True) + ps
-        # Σ_{f,n} p·v as a broadcast multiply + reduce (Mosaic rejects a
+        # Σ_{G,L} p·v as a broadcast multiply + reduce (Mosaic rejects a
         # dot_general whose lhs has no non-contracting dims)
         acc = jnp.sum(
-            pr[:, :, None] * vt.astype(jnp.float32), axis=(0, 1), keepdims=True
+            pr[:, :, None] * vg.astype(jnp.float32), axis=(0, 1), keepdims=True
         )[0]  # (1, dh)
         co = (acc + ps * vc.astype(jnp.float32)) / z
         ocls_ref[0, :, oo:oo + dim_head] = co.astype(ocls_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("axis", "heads", "dim_head"))
-def divided_attention(qkv_tok, qkv_cls, frame_bias, row_bias, *, axis: str,
-                      heads: int, dim_head: int):
-    """Divided space/time attention from packed natural-layout qkv.
+@functools.partial(jax.jit, static_argnames=("heads", "dim_head"))
+def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
+                      dim_head: int):
+    """Grouped attention with a CLS row from packed grouped qkv.
 
     Args:
-      qkv_tok: (B, f, n, 3*inner) head-major packed token projections —
+      qkv_g: (B, G, L, 3*inner) head-major packed token projections —
         columns ordered (head, [q|k|v], dim_head) so TP column-shards are
         whole heads (pre-scale; the kernel applies dim_head**-0.5 to q).
+        Space axis: the natural (B, F, n, ·); time axis: caller transposes
+        to (B, n, F, ·).
       qkv_cls: (B, 1, 3*inner) CLS projections.
-      frame_bias: (B, f, 1+f) fp32 additive time mask (column 0 = CLS key)
-        or None; only used for ``axis='time'``.
-      row_bias: (B, f, 1) fp32 additive CLS-row frame-validity bias or None.
-    Returns (out_tok (B, f, n, inner), out_cls (B, 1, inner)).
+      seq_bias: (B, L, 1+L) fp32 additive per-row mask shared over groups
+        (column 0 = CLS key) or None.
+      row_bias: fp32 additive CLS-row token-validity bias broadcastable to
+        (B, G, L) — e.g. (B, G, 1) or (B, 1, L) — or None.
+    Returns (out (B, G, L, inner), out_cls (B, 1, inner)).
     """
-    B, f, n, c3 = qkv_tok.shape
+    B, G, L, c3 = qkv_g.shape
     inner = c3 // 3
-    if frame_bias is None:
-        frame_bias = jnp.zeros((1, 1, 1), jnp.float32)
-        fb_block, fb_index = (1, 1, 1), (lambda b: (0, 0, 0))
+    if seq_bias is None:
+        seq_bias = jnp.zeros((1, 1, 1), jnp.float32)
+        sb_block, sb_index = (1, 1, 1), (lambda b: (0, 0, 0))
     else:
-        frame_bias = frame_bias.astype(jnp.float32)
-        fb_block, fb_index = (1, f, 1 + f), (lambda b: (b, 0, 0))
+        seq_bias = seq_bias.astype(jnp.float32)
+        sb_block, sb_index = (1, L, 1 + L), (lambda b: (b, 0, 0))
     if row_bias is None:
         row_bias = jnp.zeros((1, 1, 1), jnp.float32)
-        rb_block, rb_index = (1, 1, 1), (lambda b: (0, 0, 0))
     else:
         row_bias = row_bias.astype(jnp.float32)
-        rb_block, rb_index = (1, f, 1), (lambda b: (b, 0, 0))
+    rb_block, rb_index = (1,) + row_bias.shape[1:], (lambda b: (b % row_bias.shape[0], 0, 0))
 
-    kernel = functools.partial(
-        _divided_kernel, axis=axis, heads=heads, dim_head=dim_head
-    )
+    kernel = functools.partial(_divided_kernel, heads=heads, dim_head=dim_head)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -246,17 +239,17 @@ def divided_attention(qkv_tok, qkv_cls, frame_bias, row_bias, *, axis: str,
         # the default 16 MB scoped-vmem budget; v5e has headroom above it
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
-            pl.BlockSpec((1, f, n, c3), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, L, c3), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(fb_block, fb_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(sb_block, sb_index, memory_space=pltpu.VMEM),
             pl.BlockSpec(rb_block, rb_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, f, n, inner), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, L, inner), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, inner), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((B, f, n, inner), qkv_tok.dtype),
-            jax.ShapeDtypeStruct((B, 1, inner), qkv_tok.dtype),
+            jax.ShapeDtypeStruct((B, G, L, inner), qkv_g.dtype),
+            jax.ShapeDtypeStruct((B, 1, inner), qkv_g.dtype),
         ],
-    )(qkv_tok, qkv_cls, frame_bias, row_bias)
+    )(qkv_g, qkv_cls, seq_bias, row_bias)

@@ -71,15 +71,20 @@ def test_divided_attention_kernel(axis):
     idm = np.ones((B, f, f), bool)
     idm[0, :4, 4:] = idm[0, 4:, :4] = False  # two identities
     fm = np.concatenate([np.ones((B, f, 1), bool), mask[:, None, :] & idm], -1)
-    frame_bias = mask_to_bias(jnp.asarray(fm)) if axis == "time" else None
-    row_bias = jnp.where(jnp.asarray(mask), 0.0, -0.7 * np.finfo(np.float32).max)[
-        :, :, None
-    ]
+    rbias = jnp.where(jnp.asarray(mask), 0.0, -0.7 * np.finfo(np.float32).max)
+    if axis == "time":  # caller pre-transposes into grouped layout
+        qkv_g = jnp.asarray(qkv4).swapaxes(1, 2)
+        seq_bias = mask_to_bias(jnp.asarray(fm))
+        row_bias = rbias[:, None, :]
+    else:
+        qkv_g = jnp.asarray(qkv4)
+        seq_bias = None
+        row_bias = rbias[:, :, None]
 
-    out_tok, out_cls = divided_attention(
-        jnp.asarray(qkv4), jnp.asarray(qkvc), frame_bias, row_bias,
-        axis=axis, heads=H, dim_head=dh,
+    out_g, out_cls = divided_attention(
+        qkv_g, jnp.asarray(qkvc), seq_bias, row_bias, heads=H, dim_head=dh,
     )
+    out_tok = out_g.swapaxes(1, 2) if axis == "time" else out_g
 
     # reference: grouped XLA attention on the unpacked tensors
     # (head-major packing: columns ordered (H, [q|k|v], dh))
