@@ -41,6 +41,10 @@ class TrainingConfig:
     step_size: int = 5
     augmentation: str = "max"  # min | max
     momentum: float = 0.9
+    # frame-level extractor-pretraining subsampling fractions
+    # (cross-efficient-vit/configs/architecture.yaml:8-11, consumed by
+    # mintime_tpu.pretrain_extractor — no effect on video-level training,
+    # same as the reference)
     rebalancing_real: float = 1.0
     rebalancing_fake: float = 1.0
 
@@ -63,7 +67,6 @@ class ModelConfig:
     num_frames: int = 16
     max_identities: int = 2
     num_patches: int = 49
-    patch_size: int = 1
     dim: int = 512
     depth: int = 9
     heads: int = 8
@@ -78,12 +81,18 @@ class ModelConfig:
     enable_identity_attention: bool = True
     identities_ordering: int = 0  # 0 size | 1 length | 2 random
     efficient_net_block: int = 20  # conv-timesformer feature tap
-    emb_dim: int = 32
 
     def __post_init__(self):
         if self.num_frames not in VALID_NUM_FRAMES:
             raise ValueError(
                 f"num-frames must be one of {VALID_NUM_FRAMES}, got {self.num_frames}"
+            )
+        if self.shift_tokens:
+            # dead code in the reference (size_invariant_timesformer.py:31
+            # `amt is 0` bug; every shipped config sets it False) — refuse
+            # rather than silently ignore. PARITY.md #8.
+            raise NotImplementedError(
+                "shift-tokens is unimplemented (off in every reference config)"
             )
 
     @property

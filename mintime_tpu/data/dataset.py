@@ -16,10 +16,16 @@ Divergences from ``deepfakes_dataset.py`` (documented, intended-behavior):
   ``legacy_all_ones_mask=True`` for bit-compat.
 * identity mean face size is read from the crop file header via cv2
   (reference uses python-magic, deepfakes_dataset.py:114).
-* video frame dimensions for the size buckets come from the crop geometry
-  relation rather than re-opening the original .mp4 per face
-  (deepfakes_dataset.py:250-253 opens the video once per identity); pass
-  ``video_dims`` or a ``video_path`` root to use original videos.
+* video frame dimensions for the size buckets come from (in priority order)
+  an explicit ``video_dims`` mapping, a ``video_dims.json`` sidecar written
+  by :mod:`mintime_tpu.preprocessing.extract_crops` into the video's crop
+  folder, or probing the original .mp4 under ``video_path`` with the
+  reference's ``<root>/<mode>/<video_id>.mp4`` layout and val→train fallback
+  (deepfakes_dataset.py:202-206,250-253 — the reference re-opens the video
+  per identity per sample; we probe once and cache). If none is available
+  the dataset raises, since wrong dimensions silently corrupt the size
+  embedding — the model's namesake feature; pass ``default_video_dims`` to
+  opt into a fixed assumption (synthetic data).
 """
 
 from __future__ import annotations
@@ -41,11 +47,63 @@ from mintime_tpu.data.assembler import (
 from mintime_tpu.data.augment import Compose, create_train_transforms, create_val_transform
 
 _FRAME_RE = re.compile(r"^(\d+)_(\d+)")
+_CROP_EXTS = (".png", ".jpg", ".jpeg", ".bmp")
+DIMS_SIDECAR = "video_dims.json"
+MODES = ("train", "val", "test")
 
 
 def _frame_of(path: str) -> int:
     m = _FRAME_RE.match(os.path.basename(path))
     return int(m.group(1)) if m else 0
+
+
+def read_dims_sidecar(video_dir: str) -> tuple[int, int] | None:
+    """Read the ``video_dims.json`` sidecar extract_crops writes (w, h)."""
+    import json
+
+    p = os.path.join(video_dir, DIMS_SIDECAR)
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            d = json.load(f)
+        return int(d["width"]), int(d["height"])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
+def resolve_original_video(video_root: str, faces_dir: str) -> str | None:
+    """Locate the original ``.mp4`` for a faces folder the reference way:
+    ``<video_root>/<mode>/<video_id>[.mp4]`` where ``video_id`` is the part
+    of the faces path after the split folder, with the val→train fallback
+    (deepfakes_dataset.py:194-206)."""
+    norm = faces_dir.replace("\\", os.sep)
+    mode = next((m for m in MODES if m + os.sep in norm or norm.startswith(m + os.sep)), None)
+    if mode is None:
+        candidates = [os.path.join(video_root, norm)]
+    else:
+        video_id = norm.split(mode + os.sep, 1)[1]
+        candidates = [os.path.join(video_root, mode, video_id)]
+        if mode == "val":
+            candidates.append(os.path.join(video_root, "train", video_id))
+    for c in candidates:
+        for p in (c if c.endswith(".mp4") else c + ".mp4", c):
+            if os.path.exists(p) and not os.path.isdir(p):
+                return p
+    return None
+
+
+def probe_video_dims(video_file: str) -> tuple[int, int] | None:
+    """(width, height) from the container header (deepfakes_dataset.py:250-252)."""
+    capture = cv2.VideoCapture(video_file)
+    try:
+        w = capture.get(cv2.CAP_PROP_FRAME_WIDTH)
+        h = capture.get(cv2.CAP_PROP_FRAME_HEIGHT)
+    finally:
+        capture.release()
+    if not w or not h:
+        return None
+    return int(w), int(h)
 
 
 @dataclass
@@ -72,7 +130,8 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
     for entry in sorted(os.listdir(video_dir)):
         p = os.path.join(video_dir, entry)
         if not os.path.isdir(p):
-            discarded.append(p)
+            if entry.lower().endswith(_CROP_EXTS):
+                discarded.append(p)
             continue
         crops = sorted(
             (os.path.join(p, f) for f in os.listdir(p)),
@@ -154,6 +213,8 @@ class DeepfakesDataset:
         identities_ordering: int = 0,
         multiclass_labels: Sequence[float] | None = None,
         video_dims: Mapping[str, tuple[int, int]] | None = None,
+        video_path: str | None = None,
+        default_video_dims: tuple[int, int] | None = None,
         legacy_all_ones_mask: bool = False,
         seed: int = 42,
     ):
@@ -167,7 +228,9 @@ class DeepfakesDataset:
         self.max_identities = max_identities
         self.mode = mode
         self.identities_ordering = identities_ordering
-        self.video_dims = video_dims or {}
+        self.video_dims = dict(video_dims or {})
+        self.video_path = video_path
+        self.default_video_dims = default_video_dims
         self.legacy_all_ones_mask = legacy_all_ones_mask
         self.seed = seed
         if mode == "train":
@@ -178,15 +241,28 @@ class DeepfakesDataset:
     def __len__(self):
         return len(self.videos)
 
-    def _video_area(self, video_rel: str, crop_shape) -> float:
-        """video_area = w*h/2 (deepfakes_dataset.py:253). Falls back to a
-        720p assumption when original video dims are unknown."""
+    def _video_area(self, video_rel: str, video_dir: str) -> float:
+        """video_area = w*h/2 (deepfakes_dataset.py:253), from original video
+        dimensions — sourced, cached, and never silently defaulted."""
         dims = self.video_dims.get(video_rel)
         if dims is None:
-            w, h = 1280.0, 720.0
-        else:
-            w, h = float(dims[0]), float(dims[1])
-        return w * h / 2.0
+            dims = read_dims_sidecar(video_dir)
+        if dims is None and self.video_path:
+            orig = resolve_original_video(self.video_path, video_rel)
+            if orig is not None:
+                dims = probe_video_dims(orig)
+        if dims is None:
+            dims = self.default_video_dims
+        if dims is None:
+            raise ValueError(
+                f"unknown original video dimensions for {video_rel!r}: size "
+                "embeddings need the frame area (deepfakes_dataset.py:250-253)."
+                " Provide video_dims, a video_dims.json sidecar (written by"
+                " extract_crops), --video_path to the original videos, or"
+                " default_video_dims to opt into a fixed assumption."
+            )
+        self.video_dims[video_rel] = dims
+        return float(dims[0]) * float(dims[1]) / 2.0
 
     def __getitem__(self, index: int) -> dict:
         video_rel = self.videos[index]
@@ -222,7 +298,7 @@ class DeepfakesDataset:
             if img is None:
                 img = np.zeros((self.image_size, self.image_size, 3), np.uint8)
             if video_area is None:
-                video_area = self._video_area(video_rel, img.shape)
+                video_area = self._video_area(video_rel, video_dir)
             # size bucket from face/frame area ratio (deepfakes_dataset:250-263)
             face_area = img.shape[0] * img.shape[1] / 2.0
             ratio = int(face_area * 100.0 / video_area)

@@ -53,18 +53,14 @@ def evaluate(
 
     need_attn = save_attention_plots and getattr(model, "require_attention", False)
 
-    @jax.jit
-    def fwd(variables, frames, mask, identities_mask, size_embedding, positions):
-        return model.apply(
-            variables, frames, mask, identities_mask, size_embedding, positions
-        )
+    # one jitted forward for the whole run, whatever the head's arity —
+    # constructing jax.jit per batch would discard the trace cache
+    fwd = jax.jit(lambda variables, *inputs: model.apply(variables, *inputs))
 
     all_logits, all_labels, all_mc, losses = [], [], [], []
     for batch in loader:
         inputs = model_inputs(batch, model.head if hasattr(model, "head") else "timesformer")
-        out = fwd(variables, *inputs) if len(inputs) == 5 else jax.jit(model.apply)(
-            variables, *inputs
-        )
+        out = fwd(variables, *inputs)
         if need_attn:
             logits, attns = out
             _plot_batch_attention(
@@ -115,7 +111,11 @@ def main(argv=None):
     p.add_argument("--extractor_weights", default=None)
     p.add_argument("--test_list_file", required=True)
     p.add_argument("--data_path", required=True)
-    p.add_argument("--model", type=int, default=1, help="0 baseline | 1 timesformer")
+    p.add_argument("--video_path", default=None,
+                   help="root of the original .mp4s for size buckets when no"
+                        " video_dims.json sidecars exist (test.py:47)")
+    p.add_argument("--model", type=int, default=1,
+                   help="0 baseline | 1 timesformer | 2 slowfast (test.py:121-126)")
     p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
     p.add_argument("--only_multiidentity", action="store_true", default=False)
     p.add_argument("--save_attentions", action="store_true", default=False)
@@ -147,16 +147,22 @@ def main(argv=None):
         labels = [labels[i] for i in keep]
         mc = [mc[i] for i in keep]
 
-    backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
-    head = "baseline" if opt.model == 0 else "timesformer"
-    model = MintimeVideoClassifier(
-        cfg.model,
-        backbone=backbone,
-        head=head,
-        require_attention=opt.save_attentions,
-        dtype=jnp.bfloat16,
-        use_pallas=opt.fused_attention,  # default: train-time XLA numerics
-    )
+    if opt.model == 2:  # SlowFast path (test.py:121-126,255-257)
+        from mintime_tpu.models.slowfast import SlowFastClassifier
+
+        model = SlowFastClassifier(num_classes=cfg.model.num_classes,
+                                   dtype=jnp.bfloat16)
+    else:
+        backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
+        head = "baseline" if opt.model == 0 else "timesformer"
+        model = MintimeVideoClassifier(
+            cfg.model,
+            backbone=backbone,
+            head=head,
+            require_attention=opt.save_attentions,
+            dtype=jnp.bfloat16,
+            use_pallas=opt.fused_attention,  # default: train-time XLA numerics
+        )
     variables = load_model_variables(
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights
     )
@@ -172,6 +178,7 @@ def main(argv=None):
         mode="test",
         identities_ordering=opt.identities_ordering,
         multiclass_labels=mc,
+        video_path=opt.video_path,
     )
     loader = DataLoader(
         ds,

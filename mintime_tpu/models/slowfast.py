@@ -184,14 +184,27 @@ class SlowFastClassifier(nn.Module):
     num_frames: int = 32
     mean: float = 0.45
     std: float = 0.225
+    side_size: int = 256
+    crop_size: int = 256
     dtype: Any = None
     head: str = "slowfast"
 
     @nn.compact
     def __call__(self, frames, train: bool = False):
-        B, F = frames.shape[:2]
+        B, F, H, W = frames.shape[:4]
         x = frames.astype(jnp.float32) / 255.0
         x = (x - self.mean) / self.std
+        # short-side scale + center crop on device (utils.py:144-186 applies
+        # ShortSideScale(256) + CenterCrop(256) after normalize)
+        if min(H, W) != self.side_size:
+            scale = self.side_size / min(H, W)
+            nh, nw = int(round(H * scale)), int(round(W * scale))
+            x = jax.image.resize(x, (B, F, nh, nw, 3), method="bilinear")
+            H, W = nh, nw
+        if (H, W) != (self.crop_size, self.crop_size):
+            y0 = max(0, (H - self.crop_size) // 2)
+            x0 = max(0, (W - self.crop_size) // 2)
+            x = x[:, :, y0 : y0 + self.crop_size, x0 : x0 + self.crop_size]
         if self.dtype is not None:
             x = x.astype(self.dtype)
         idx = jnp.round(jnp.linspace(0, F - 1, self.num_frames)).astype(jnp.int32)

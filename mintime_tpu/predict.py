@@ -303,31 +303,32 @@ def main(argv=None):
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights
     )
 
-    if opt.mtcnn_weights:
-        import torch
-
-        from mintime_tpu.preprocessing.mtcnn import mtcnn_params_from_torch
-
-        det_vars = mtcnn_params_from_torch(
-            *(
-                torch.load(os.path.join(opt.mtcnn_weights, f), map_location="cpu")
-                for f in ("pnet.pt", "rnet.pt", "onet.pt")
-            )
+    # a random-init cascade detects nothing and a random embedder produces
+    # garbage clusters — require real weights on the user-facing CLI rather
+    # than silently degrading (detect_faces.py warns; here we fail hard).
+    if not opt.mtcnn_weights or not opt.facenet_weights:
+        p.error(
+            "--mtcnn_weights (dir with pnet.pt/rnet.pt/onet.pt) and "
+            "--facenet_weights (InceptionResnetV1 vggface2 state_dict) are "
+            "required: the facenet-pytorch pretrained weights the reference "
+            "loads implicitly (face_detector.py:42-46, preprocessing/utils.py"
+            ":32-34) cannot be auto-downloaded here."
         )
-    else:
-        det_vars = MTCNNDetector.init_variables()
+    import torch
+
+    from mintime_tpu.preprocessing.facenet import facenet_params_from_torch
+    from mintime_tpu.preprocessing.mtcnn import mtcnn_params_from_torch
+
+    det_vars = mtcnn_params_from_torch(
+        *(
+            torch.load(os.path.join(opt.mtcnn_weights, f), map_location="cpu")
+            for f in ("pnet.pt", "rnet.pt", "onet.pt")
+        )
+    )
     detector = MTCNNDetector(det_vars)
-
-    if opt.facenet_weights:
-        import torch
-
-        from mintime_tpu.preprocessing.facenet import facenet_params_from_torch
-
-        emb_vars = facenet_params_from_torch(
-            torch.load(opt.facenet_weights, map_location="cpu")
-        )
-    else:
-        emb_vars = FaceEmbedder.init_variables()
+    emb_vars = facenet_params_from_torch(
+        torch.load(opt.facenet_weights, map_location="cpu")
+    )
     embedder = FaceEmbedder(emb_vars)
 
     result = predict_video(opt.video_path, model, variables, cfg, detector, embedder)

@@ -67,6 +67,18 @@ def process_videos(
             missed.append(video)
         with open(out_path, "w") as f:
             json.dump(boxes, f)
+        # original-resolution dims sidecar for downstream size buckets
+        import cv2
+
+        capture = cv2.VideoCapture(video)
+        dims = {
+            "width": int(capture.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            "height": int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+            "fps": int(capture.get(cv2.CAP_PROP_FPS)) or 30,
+        }
+        capture.release()
+        with open(os.path.splitext(out_path)[0] + ".dims.json", "w") as f:
+            json.dump(dims, f)
     return missed
 
 

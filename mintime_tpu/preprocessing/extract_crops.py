@@ -86,6 +86,16 @@ def extract_video(
     out = []
     if write:
         os.makedirs(output_dir, exist_ok=True)
+        if frames:
+            # original-video dimensions sidecar: lets the data layer compute
+            # size buckets (deepfakes_dataset.py:250-253 re-opens the .mp4
+            # per sample for width*height) without the original videos.
+            with open(os.path.join(output_dir, "video_dims.json"), "w") as f:
+                json.dump(
+                    {"width": frames[0].shape[1], "height": frames[0].shape[0],
+                     "fps": fps},
+                    f,
+                )
     for i in range(0, len(frames), fps):
         det = pick_detection_frame(boxes, i, fps)
         if det is None:

@@ -166,6 +166,9 @@ def main(argv=None):
     p.add_argument("--train_list_file", required=True)
     p.add_argument("--validation_list_file", required=True)
     p.add_argument("--data_path", required=True)
+    p.add_argument("--video_path", default=None,
+                   help="root of the original .mp4s for size buckets when no"
+                        " video_dims.json sidecars exist (train.py:50)")
     p.add_argument("--num_epochs", type=int, default=30)
     p.add_argument("--patience", type=int, default=5)
     p.add_argument("--workers", type=int, default=4)
@@ -202,6 +205,7 @@ def main(argv=None):
         num_patches=cfg.model.num_patches, max_identities=cfg.model.max_identities,
         mode=mode, augmentation=cfg.training.augmentation,
         identities_ordering=opt.identities_ordering, seed=opt.random_state,
+        video_path=opt.video_path,
     )
     mesh = make_mesh()
     train_loader = DataLoader(mk(train_man, "train"), cfg.training.bs,

@@ -47,6 +47,10 @@ def faces_dir(tmp_path_factory):
             for frame in range(0, 150, 30):
                 img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
                 cv2.imwrite(str(idir / f"{frame}_0.png"), img)
+        # original-video dims sidecar (extract_crops contract)
+        (vdir / "video_dims.json").write_text(
+            '{"width": 1280, "height": 720, "fps": 30}'
+        )
         videos.append(f"video_{v}")
     labels = [float(v % 2) for v in range(8)]
     return str(root), videos, labels
