@@ -198,26 +198,8 @@ def _divided_kernel(qkv_ref, qkvc_ref, sbias_ref, rbias_ref, otok_ref,
         ocls_ref[0, :, oo:oo + dim_head] = co.astype(ocls_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("heads", "dim_head"))
-def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
-                      dim_head: int):
-    """Grouped attention with a CLS row from packed grouped qkv.
-
-    Args:
-      qkv_g: (B, G, L, 3*inner) head-major packed token projections —
-        columns ordered (head, [q|k|v], dim_head) so TP column-shards are
-        whole heads (pre-scale; the kernel applies dim_head**-0.5 to q).
-        Space axis: the natural (B, F, n, ·); time axis: caller transposes
-        to (B, n, F, ·).
-      qkv_cls: (B, 1, 3*inner) CLS projections.
-      seq_bias: (B, L, 1+L) fp32 additive per-row mask shared over groups
-        (column 0 = CLS key) or None.
-      row_bias: fp32 additive CLS-row token-validity bias broadcastable to
-        (B, G, L) — e.g. (B, G, 1) or (B, 1, L) — or None.
-    Returns (out (B, G, L, inner), out_cls (B, 1, inner)).
-    """
-    B, G, L, c3 = qkv_g.shape
-    inner = c3 // 3
+def _bias_specs(seq_bias, row_bias, L):
+    """Normalize optional biases to arrays + their BlockSpecs."""
     if seq_bias is None:
         seq_bias = jnp.zeros((1, 1, 1), jnp.float32)
         sb_block, sb_index = (1, 1, 1), (lambda b: (0, 0, 0))
@@ -228,8 +210,17 @@ def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
         row_bias = jnp.zeros((1, 1, 1), jnp.float32)
     else:
         row_bias = row_bias.astype(jnp.float32)
-    rb_block, rb_index = (1,) + row_bias.shape[1:], (lambda b: (b % row_bias.shape[0], 0, 0))
+    rb_block = (1,) + row_bias.shape[1:]
+    rb_index = lambda b, _n=row_bias.shape[0]: (b % _n, 0, 0)
+    return seq_bias, row_bias, (sb_block, sb_index), (rb_block, rb_index)
 
+
+def _fwd_call(qkv_g, qkv_cls, seq_bias, row_bias, heads, dim_head):
+    B, G, L, c3 = qkv_g.shape
+    inner = c3 // 3
+    seq_bias, row_bias, (sb_block, sb_index), (rb_block, rb_index) = _bias_specs(
+        seq_bias, row_bias, L
+    )
     kernel = functools.partial(_divided_kernel, heads=heads, dim_head=dim_head)
     return pl.pallas_call(
         kernel,
@@ -253,3 +244,198 @@ def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
             jax.ShapeDtypeStruct((B, 1, inner), qkv_g.dtype),
         ],
     )(qkv_g, qkv_cls, seq_bias, row_bias)
+
+
+def _divided_bwd_kernel(qkv_ref, qkvc_ref, sbias_ref, rbias_ref, dtok_ref,
+                        dcls_ref, dqkv_ref, dqkvc_ref, *, heads: int,
+                        dim_head: int):
+    """Flash-style recompute backward of :func:`_divided_kernel`.
+
+    Recomputes the softmax from the saved packed qkv (cheaper than spilling
+    the (G, L, 1+L) probabilities to HBM in the forward) and accumulates
+    gradients from BOTH attention patterns — the grouped token rows with
+    their CLS key/value column, and the global CLS row — into the packed
+    d_qkv layout the projection matmul's backward consumes directly.
+    """
+    scale = dim_head ** -0.5
+    qkv = qkv_ref[0]  # (G, L, 3*inner)
+    qkvc = qkvc_ref[0]  # (1, 3*inner)
+    sbias = sbias_ref[0]
+    rbias = rbias_ref[0]
+    dtok = dtok_ref[0]  # (G, L, inner) cotangent of token outputs
+    dcls = dcls_ref[0]  # (1, inner) cotangent of the CLS output
+
+    f32 = jnp.float32
+    for h in range(heads):
+        oq = h * 3 * dim_head
+        ok, ov = oq + dim_head, oq + 2 * dim_head
+        oo = h * dim_head
+        qg = qkv[:, :, oq:oq + dim_head] * scale  # (G, L, dh)
+        kg = qkv[:, :, ok:ok + dim_head]
+        vg = qkv[:, :, ov:ov + dim_head]
+        qc = qkvc[:, oq:oq + dim_head] * scale  # (1, dh)
+        kc = qkvc[:, ok:ok + dim_head]
+        vc = qkvc[:, ov:ov + dim_head]
+        do = dtok[:, :, oo:oo + dim_head].astype(f32)  # (G, L, dh)
+        dc = dcls[:, oo:oo + dim_head].astype(f32)  # (1, dh)
+
+        # ---- token rows: recompute softmax exactly as the forward
+        logits_tok = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (G, L, L)
+        logits_cls = jnp.sum(
+            qg.astype(f32) * kc[0].astype(f32)[None, None, :],
+            axis=-1, keepdims=True,
+        )  # (G, L, 1)
+        logits = jnp.concatenate([logits_cls, logits_tok], axis=-1) + sbias[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (G, L, 1+L) fp32
+
+        # d attn
+        dattn_tok = jax.lax.dot_general(
+            do, vg, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )  # (G, L, L)
+        dattn_cls = jnp.sum(
+            do * vc[0].astype(f32)[None, None, :], axis=-1, keepdims=True
+        )  # (G, L, 1)
+        dattn = jnp.concatenate([dattn_cls, dattn_tok], axis=-1)
+        # softmax backward: dS = p ⊙ (dP − Σ_j dP_j p_j)
+        dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+
+        # grads into q/k/v (token rows)
+        dq = jax.lax.dot_general(
+            dlogits[..., 1:], kg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        ) + dlogits[..., :1] * kc[0].astype(f32)[None, None, :]
+        dk = jax.lax.dot_general(
+            dlogits[..., 1:], qg.astype(f32), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )  # (G, L_k, dh): contract the query axis
+        dkc_tok = jnp.sum(dlogits[..., :1] * qg.astype(f32), axis=(0, 1),
+                          keepdims=True)[0]  # (1, dh)
+        dv = jax.lax.dot_general(
+            attn[..., 1:], do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )  # (G, L_k, dh)
+        dvc_tok = jnp.sum(attn[..., :1] * do, axis=(0, 1), keepdims=True)[0]
+
+        # ---- CLS row: recompute global softmax
+        lr = jnp.sum(
+            qc[0].astype(f32)[None, None, :] * kg.astype(f32), axis=-1
+        ) + rbias  # (G, L)
+        ls = jnp.sum(qc.astype(f32) * kc.astype(f32), axis=-1, keepdims=True)
+        mc = jnp.maximum(jnp.max(lr, axis=(0, 1), keepdims=True), ls)
+        pr = jnp.exp(lr - mc)
+        ps = jnp.exp(ls - mc)
+        z = jnp.sum(pr, axis=(0, 1), keepdims=True) + ps
+        pr = pr / z[0]  # (G, L) normalized
+        ps = ps / z  # (1, 1)
+
+        dpr = jnp.sum(vg.astype(f32) * dc[0][None, None, :], axis=-1)  # (G, L)
+        dps = jnp.sum(vc.astype(f32) * dc, axis=-1, keepdims=True)  # (1, 1)
+        s_dot = jnp.sum(pr * dpr, axis=(0, 1), keepdims=True) + ps * dps
+        dlr = pr * (dpr - s_dot[0])  # (G, L)
+        dls = ps * (dps - s_dot)  # (1, 1)
+
+        dqc = scale * (
+            jnp.sum(dlr[:, :, None] * kg.astype(f32), axis=(0, 1), keepdims=True)[0]
+            + dls * kc.astype(f32)
+        )  # (1, dh); qc = raw·scale ⇒ chain the scale back
+        dk = dk + dlr[:, :, None] * qc[0].astype(f32)[None, None, :]
+        dkc = dkc_tok + dls * qc.astype(f32)
+        dv = dv + pr[:, :, None] * dc[0][None, None, :]
+        dvc = dvc_tok + ps * dc
+
+        dqkv_ref[0, :, :, oq:oq + dim_head] = (scale * dq).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, ok:ok + dim_head] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, ov:ov + dim_head] = dv.astype(dqkv_ref.dtype)
+        dqkvc_ref[0, :, oq:oq + dim_head] = dqc.astype(dqkvc_ref.dtype)
+        dqkvc_ref[0, :, ok:ok + dim_head] = dkc.astype(dqkvc_ref.dtype)
+        dqkvc_ref[0, :, ov:ov + dim_head] = dvc.astype(dqkvc_ref.dtype)
+
+
+def _bwd_call(qkv_g, qkv_cls, seq_bias, row_bias, d_tok, d_cls, heads,
+              dim_head):
+    B, G, L, c3 = qkv_g.shape
+    inner = c3 // 3
+    seq_bias, row_bias, (sb_block, sb_index), (rb_block, rb_index) = _bias_specs(
+        seq_bias, row_bias, L
+    )
+    kernel = functools.partial(_divided_bwd_kernel, heads=heads,
+                               dim_head=dim_head)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        interpret=jax.default_backend() == "cpu",
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        in_specs=[
+            pl.BlockSpec((1, G, L, c3), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(sb_block, sb_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec(rb_block, rb_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G, L, inner), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, inner), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, G, L, c3), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c3), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, L, c3), qkv_g.dtype),
+            jax.ShapeDtypeStruct((B, 1, c3), qkv_g.dtype),
+        ],
+    )(qkv_g, qkv_cls, seq_bias, row_bias, d_tok, d_cls)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _divided_attention_core(qkv_g, qkv_cls, seq_bias, row_bias, heads,
+                            dim_head):
+    return _fwd_call(qkv_g, qkv_cls, seq_bias, row_bias, heads, dim_head)
+
+
+def _core_fwd(qkv_g, qkv_cls, seq_bias, row_bias, heads, dim_head):
+    out = _fwd_call(qkv_g, qkv_cls, seq_bias, row_bias, heads, dim_head)
+    return out, (qkv_g, qkv_cls, seq_bias, row_bias)
+
+
+def _core_bwd(heads, dim_head, res, cot):
+    qkv_g, qkv_cls, seq_bias, row_bias = res
+    d_tok, d_cls = cot
+    d_qkv, d_qkvc = _bwd_call(
+        qkv_g, qkv_cls, seq_bias, row_bias,
+        d_tok.astype(qkv_g.dtype), d_cls.astype(qkv_cls.dtype),
+        heads, dim_head,
+    )
+    zero = lambda t: None if t is None else jnp.zeros_like(t)
+    return d_qkv, d_qkvc, zero(seq_bias), zero(row_bias)
+
+
+_divided_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "dim_head"))
+def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
+                      dim_head: int):
+    """Grouped attention with a CLS row from packed grouped qkv.
+
+    Differentiable: a flash-style recompute backward kernel
+    (:func:`_divided_bwd_kernel`) is registered via ``jax.custom_vjp``, so
+    the training step can route attention through Pallas too (the
+    probability tensor never exists in HBM in either direction).
+
+    Args:
+      qkv_g: (B, G, L, 3*inner) head-major packed token projections —
+        columns ordered (head, [q|k|v], dim_head) so TP column-shards are
+        whole heads (pre-scale; the kernel applies dim_head**-0.5 to q).
+        Space axis: the natural (B, F, n, ·); time axis: caller transposes
+        to (B, n, F, ·).
+      qkv_cls: (B, 1, 3*inner) CLS projections.
+      seq_bias: (B, L, 1+L) fp32 additive per-row mask shared over groups
+        (column 0 = CLS key) or None.
+      row_bias: fp32 additive CLS-row token-validity bias broadcastable to
+        (B, G, L) — e.g. (B, G, 1) or (B, 1, L) — or None.
+    Returns (out (B, G, L, inner), out_cls (B, 1, inner)).
+    """
+    return _divided_attention_core(qkv_g, qkv_cls, seq_bias, row_bias, heads,
+                                   dim_head)

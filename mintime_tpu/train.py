@@ -150,7 +150,7 @@ def extractor_unfreeze_mask(unfreeze_blocks: int):
 
 
 def model_inputs(batch: Mapping[str, Any], head: str) -> tuple:
-    if head in ("baseline", "slowfast"):
+    if head in ("baseline", "slowfast", "frame"):
         return (batch["frames"],)
     return (
         batch["frames"],

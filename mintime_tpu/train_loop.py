@@ -183,6 +183,9 @@ def main(argv=None):
     p.add_argument("--restore_epoch", action="store_true", default=False,
                    help="parse the starting epoch out of the resume filename")
     p.add_argument("--errors_logs_file", default=None)
+    p.add_argument("--fused_attention", type=int, choices=(0, 1), default=None,
+                   help="route TimeSformer attention through the Pallas "
+                        "kernel (fwd + custom_vjp bwd); default: on for TPU")
     opt = p.parse_args(argv)
     if opt.errors_logs_file:  # stderr redirect (train.py:96-98)
         import sys
@@ -222,9 +225,13 @@ def main(argv=None):
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
         head = "baseline" if opt.model == 0 else "timesformer"
+        fused = opt.fused_attention
+        if fused is None:  # Pallas kernels compile only on TPU (interpret on CPU)
+            fused = jax.default_backend() == "tpu"
         model = MintimeVideoClassifier(
             cfg.model, backbone=backbone, head=head,
             freeze_backbone=opt.freeze_backbone, dtype=jnp.bfloat16,
+            use_pallas=bool(fused) and head == "timesformer",
         )
 
     example = next(iter(DataLoader(mk(val_man, "val"), cfg.training.bs,

@@ -56,6 +56,105 @@ def test_model_with_pallas_flag():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=5e-2)
 
 
+def _ref_divided(qkv_g, qkv_cls, seq_bias, row_bias, heads, dh):
+    """Pure-jnp reference of divided_attention (differentiable)."""
+    B, G, L, c3 = qkv_g.shape
+    scale = dh ** -0.5
+    w = qkv_g.reshape(B, G, L, heads, 3, dh)
+    wc = qkv_cls.reshape(B, heads, 3, dh)
+    q = w[..., 0, :] * scale  # (B, G, L, H, dh)
+    k, v = w[..., 1, :], w[..., 2, :]
+    qc = wc[:, :, 0] * scale  # (B, H, dh)
+    kc, vc = wc[:, :, 1], wc[:, :, 2]
+
+    lt = jnp.einsum("bglhd,bgmhd->bhglm", q, k)
+    lc = jnp.einsum("bglhd,bhd->bhgl", q, kc)[..., None]
+    logits = jnp.concatenate([lc, lt], -1)
+    if seq_bias is not None:
+        logits = logits + seq_bias[:, None, None]  # (B,L,1+L) over heads/groups
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhglm,bgmhd->bglhd", p[..., 1:], v) + jnp.einsum(
+        "bhgl,bhd->bglhd", p[..., 0], vc
+    )
+
+    lr = jnp.einsum("bhd,bglhd->bhgl", qc, k)
+    if row_bias is not None:
+        lr = lr + row_bias[:, None]  # broadcast (B,G,L) over heads
+    ls = jnp.einsum("bhd,bhd->bh", qc, kc)
+    lall = jnp.concatenate([ls[:, :, None], lr.reshape(B, heads, G * L)], -1)
+    pc = jax.nn.softmax(lall, axis=-1)
+    cls_out = jnp.einsum(
+        "bht,bthd->bhd", pc[:, :, 1:], v.reshape(B, G * L, heads, dh)
+    ) + pc[:, :, 0][..., None] * vc
+    return out.reshape(B, G, L, heads * dh), cls_out.reshape(B, 1, heads * dh)
+
+
+@pytest.mark.parametrize("axis", ["time", "space"])
+def test_divided_attention_grads(axis):
+    """custom_vjp backward kernel vs autodiff of the jnp reference."""
+    from mintime_tpu.ops.pallas_attention import divided_attention
+
+    B, f, n, H, dh = 2, 6, 4, 2, 32
+    inner = H * dh
+    rng = np.random.default_rng(5)
+    qkv = jnp.asarray(rng.standard_normal((B, f, n, 3 * inner)) * 0.2, jnp.float32)
+    qkvc = jnp.asarray(rng.standard_normal((B, 1, 3 * inner)) * 0.2, jnp.float32)
+    mask = np.ones((B, f), bool)
+    mask[1, 4:] = False
+    fm = np.concatenate([np.ones((B, f, 1), bool),
+                         np.broadcast_to(mask[:, None, :], (B, f, f))], -1)
+    rb = jnp.where(jnp.asarray(mask), 0.0, -0.7 * np.finfo(np.float32).max)
+    if axis == "time":
+        args = (qkv.swapaxes(1, 2), qkvc, mask_to_bias(jnp.asarray(fm)),
+                rb[:, None, :])
+    else:
+        args = (qkv, qkvc, None, rb[:, :, None])
+
+    w_tok = jnp.asarray(rng.standard_normal(args[0].shape[:3] + (inner,)), jnp.float32)
+    w_cls = jnp.asarray(rng.standard_normal((B, 1, inner)), jnp.float32)
+
+    def loss(fn, q, qc):
+        o, oc = fn(q, qc, args[2], args[3], heads=H, dim_head=dh)
+        return jnp.sum(o * w_tok) + jnp.sum(oc * w_cls)
+
+    ref_fn = lambda q, qc, sb, rbias, heads, dim_head: _ref_divided(
+        q, qc, sb, rbias, heads, dim_head)
+    g_ref = jax.grad(lambda q, qc: loss(ref_fn, q, qc), argnums=(0, 1))(
+        args[0], qkvc)
+    g_pl = jax.grad(lambda q, qc: loss(divided_attention, q, qc), argnums=(0, 1))(
+        args[0], qkvc)
+    np.testing.assert_allclose(np.asarray(g_pl[0]), np.asarray(g_ref[0]),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(g_pl[1]), np.asarray(g_ref[1]),
+                               atol=2e-3, rtol=2e-3)
+
+
+@pytest.mark.slow
+def test_model_grads_with_pallas_flag():
+    """Parameter gradients of the full model: Pallas path vs XLA path."""
+    from mintime_tpu.models.timesformer import SizeInvariantTimeSformer
+    from tests.test_timesformer import SMALL, init_params, make_inputs
+
+    x, mask, id_mask, size_emb, positions = make_inputs(SMALL)
+    ref_model = SizeInvariantTimeSformer(SMALL)
+    params = init_params(ref_model, x, mask, id_mask, size_emb, positions)
+    pallas_model = SizeInvariantTimeSformer(SMALL, use_pallas=True)
+
+    def loss(model, p):
+        out = model.apply(p, x, mask, id_mask, size_emb, positions)
+        return jnp.sum(out * jnp.asarray([[1.0], [-0.5]], out.dtype)[: out.shape[0]])
+
+    g_ref = jax.grad(lambda p: loss(ref_model, p))(params)
+    g_pl = jax.grad(lambda p: loss(pallas_model, p))(params)
+    flat_r = jax.tree_util.tree_flatten_with_path(g_ref)[0]
+    flat_p = jax.tree_util.tree_flatten_with_path(g_pl)[0]
+    for (path, a), (_, b) in zip(flat_r, flat_p):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-3, rtol=5e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 @pytest.mark.parametrize("axis", ["time", "space"])
 def test_divided_attention_kernel(axis):
     """v2 kernel (packed natural-layout qkv, incl. CLS row) vs XLA path."""

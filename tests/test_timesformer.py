@@ -145,6 +145,11 @@ class TestTorchParity:
         ref_cfg = {"model": {
             k.replace("_", "-"): v for k, v in cfg.__dict__.items()
         }}
+        # keys the reference constructor reads but never uses downstream
+        # (size_invariant_timesformer.py:161,170) — dropped from our typed
+        # config as dead knobs, so inject placeholders for the torch side
+        ref_cfg["model"].setdefault("patch-size", 7)
+        ref_cfg["model"].setdefault("shift-tokens", False)
         torch.manual_seed(0)
         return RefModel(config=ref_cfg, require_attention=True), torch
 

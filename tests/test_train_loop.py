@@ -211,3 +211,34 @@ def test_tensor_parallel_matches_data_parallel(faces_dir):
             out = eval_step(state, batch)
             losses[tp] = (float(metrics["loss"]), float(out["loss"]))
     np.testing.assert_allclose(losses[1], losses[2], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pallas_train_step_on_mesh(faces_dir):
+    """One sharded train step with the fused Pallas attention (custom_vjp)
+    produces the same loss/metrics as the XLA attention path."""
+    from mintime_tpu.parallel.mesh import shard_batch
+    from mintime_tpu.train import jit_steps
+
+    cfg = MintimeConfig(model=SMALL, training=TrainingConfig(bs=4, val_bs=4, lr=0.05))
+    mesh = make_mesh(jax.devices()[:4])
+    example = next(iter(make_loader(faces_dir, "val")))
+    losses = {}
+    for use_pallas in (False, True):
+        model = MintimeVideoClassifier(
+            SMALL, backbone="efficientnet-b0", head="timesformer",
+            use_pallas=use_pallas,
+        )
+        state = create_train_state(
+            jax.random.key(0), model, example, cfg, steps_per_epoch=2, num_epochs=2
+        )
+        with jax.set_mesh(mesh):
+            train_step, _ = jit_steps(model, mesh, pos_weight=1.0)
+            state, metrics = train_step(state, shard_batch(mesh, example),
+                                        jax.random.key(1))
+            state, metrics2 = train_step(state, shard_batch(mesh, example),
+                                         jax.random.key(1))
+        losses[use_pallas] = (float(metrics["loss"]), float(metrics2["loss"]))
+    # step-0 losses identical-ish; step-1 loss reflects the custom_vjp update
+    np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=1e-4)
+    np.testing.assert_allclose(losses[True][1], losses[False][1], rtol=1e-3)
