@@ -110,7 +110,9 @@ def assemble_inputs(identities: dict, video_dims, cfg: MintimeConfig):
             IdentityFaces(
                 key=str(key),
                 frames=[t[0] for t in items],
-                mean_side=float(np.mean([t[2].shape[0] for t in items])),
+                # reference sorts identities by mean crop WIDTH — PIL
+                # .size[0] (predict.py:177-179) — not height
+                mean_side=float(np.mean([t[2].shape[1] for t in items])),
             )
         )
         crop_store[str(key)] = items
@@ -135,7 +137,12 @@ def assemble_inputs(identities: dict, video_dims, cfg: MintimeConfig):
             continue
         key = plan.identity_keys[plan.identity_index[slot]]
         crop = crop_store[key][fi][2]
-        size_embeddings[slot] = size_bucket(crop.shape[0], crop.shape[1], vh, vw)
+        # predict.py:289-294 halves video_area but NOT face_area (unlike the
+        # dataset path, deepfakes_dataset.py:250-263) — keep its semantics
+        size_embeddings[slot] = size_bucket(
+            crop.shape[0], crop.shape[1], vh, vw,
+            legacy_predict_double_ratio=True,
+        )
         frames.append(crop)
     frames = transform(frames, rng)
     return {
@@ -156,11 +163,25 @@ def predict_video(
     embedder,
     similarity_threshold: float = 0.45,
     every_n: int = 1,
+    boxes: dict | None = None,
 ) -> PredictionResult:
-    """The full predict() pipeline (predict.py:355-417)."""
+    """The full predict() pipeline (predict.py:355-417).
+
+    ``boxes``: optional precomputed half-res detections (the
+    ``detect_video_faces`` JSON contract) — skips the detector. Used when
+    detections already exist on disk or come from another detector.
+    """
     import jax
 
-    boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
+    if boxes is None:
+        boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        fps = int(cap.get(5)) or 30
+        video_dims = (cap.get(3), cap.get(4))
+        cap.release()
     crops = extract_video_crops(video_path, boxes, fps)
     identities, discarded = cluster_crops(crops, embedder, similarity_threshold)
     batch, plan, crop_store = assemble_inputs(identities, video_dims, cfg)

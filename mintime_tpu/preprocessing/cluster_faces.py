@@ -96,14 +96,18 @@ class FaceEmbedder:
         )
 
     def __call__(self, crops: Sequence[np.ndarray]) -> np.ndarray:
-        import cv2
+        from PIL import Image
 
         n = len(crops)
         if n == 0:
             return np.zeros((0, 512), np.float32)
+        # PIL bilinear resize — matches the reference's torchvision
+        # Resize([128,128]) on PIL crops (preprocessing/utils.py:32-34);
+        # cv2.INTER_LINEAR is NOT antialiased on downscale and diverges
+        size = (self.image_size, self.image_size)
         resized = np.stack(
             [
-                cv2.resize(c, (self.image_size, self.image_size), interpolation=cv2.INTER_LINEAR)
+                np.asarray(Image.fromarray(c).resize(size, Image.BILINEAR))
                 for c in crops
             ]
         ).astype(np.float32)
