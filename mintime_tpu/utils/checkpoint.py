@@ -114,6 +114,15 @@ def load_model_variables(
 
     # torch files: head weights + optional extractor weights
     head_sd = _load_torch_state_dict(model_weights)
+    if getattr(model, "head", None) == "slowfast":
+        # a whole pytorchvideo slowfast_r50 net (test.py:121-126)
+        from mintime_tpu.utils.torch_convert import slowfast_params_from_torch
+
+        conv = slowfast_params_from_torch(head_sd)
+        return {
+            "params": {"slowfast": conv["params"]},
+            "batch_stats": {"slowfast": conv["batch_stats"]},
+        }
     head_params = timesformer_params_from_torch(head_sd, cfg.model)
     params: dict = {"head": head_params}
     stats: dict = {}

@@ -303,3 +303,100 @@ def efficientnet_params_to_torch(variables, variant: str = "efficientnet-b0") ->
     conv("_conv_head", params["conv_head"])
     bn("_bn1", params["bn_head"], stats["bn_head"])
     return sd
+
+
+# ---------------------------------------------------------------------------
+# SlowFast R-50 (pytorchvideo torch.hub checkpoint → models/slowfast.py)
+# ---------------------------------------------------------------------------
+
+# (blocks, slow_temporal) per res-stage — pytorchvideo slowfast_r50 defaults
+# (stage depths (3,4,6,3); slow temporal conv only in res4/res5)
+_SLOWFAST_STAGES = ((3, 1), (4, 1), (6, 3), (3, 3))
+
+
+def slowfast_params_from_torch(state_dict: Mapping[str, object]) -> dict:
+    """pytorchvideo ``slowfast_r50`` state_dict → :class:`SlowFastR50`
+    variables ``{"params", "batch_stats"}``.
+
+    Key schema (torch.hub facebookresearch/pytorchvideo slowfast_r50, the
+    model the reference trains, train.py:143-147):
+
+    * ``blocks.0.multipathway_blocks.{0|1}.{conv,norm}.*`` — slow/fast stems
+    * ``blocks.{1..4}.multipathway_blocks.{0|1}.res_blocks.{j}.`` with
+      ``branch1_{conv,norm}.*`` (downsample shortcut, first block only) and
+      ``branch2.{conv,norm}_{a,b,c}.*`` (the bottleneck)
+    * ``blocks.{0..3}.multipathway_fusion.{conv_fast_to_slow,norm}.*`` —
+      lateral fast→slow fusion (none after res5)
+    * ``blocks.5.proj.{weight,bias}`` — the head Linear (replaced with
+      ``Linear(2304, num_classes)`` by the reference)
+
+    Every key in the input must be consumed — unknown keys raise, so a
+    schema drift in pytorchvideo is caught loudly instead of silently
+    producing a half-loaded model.
+    """
+    sd = dict(strip_prefixes(state_dict))
+    params: dict = {}
+    stats: dict = {}
+    used = set()
+
+    def take(key):
+        used.add(key)
+        return _np(sd[key])
+
+    def convbn(dst: tuple, conv_key: str, norm_key: str):
+        node_p = params
+        node_s = stats
+        for part in dst[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        node_p[dst[-1]] = {
+            # torch (out, in, t, h, w) → flax (t, h, w, in, out)
+            "conv": {"kernel": take(f"{conv_key}.weight").transpose(2, 3, 4, 1, 0)},
+            "bn": {"scale": take(f"{norm_key}.weight"),
+                   "bias": take(f"{norm_key}.bias")},
+        }
+        node_s[dst[-1]] = {
+            "bn": {"mean": take(f"{norm_key}.running_mean"),
+                   "var": take(f"{norm_key}.running_var")}
+        }
+        # num_batches_tracked has no flax counterpart
+        used.add(f"{norm_key}.num_batches_tracked")
+
+    for p, stem in ((0, "slow_stem"), (1, "fast_stem")):
+        base = f"blocks.0.multipathway_blocks.{p}"
+        convbn((stem,), f"{base}.conv", f"{base}.norm")
+    convbn(("fuse_stem", "fuse"),
+           "blocks.0.multipathway_fusion.conv_fast_to_slow",
+           "blocks.0.multipathway_fusion.norm")
+
+    for idx, (blocks, _slow_t) in enumerate(_SLOWFAST_STAGES):
+        tb = idx + 1  # torch block index
+        for p, stage in ((0, f"slow_res{idx + 2}"), (1, f"fast_res{idx + 2}")):
+            for j in range(blocks):
+                base = f"blocks.{tb}.multipathway_blocks.{p}.res_blocks.{j}"
+                dst = (stage, f"block_{j}")
+                convbn(dst + ("conv_a",), f"{base}.branch2.conv_a",
+                       f"{base}.branch2.norm_a")
+                convbn(dst + ("conv_b",), f"{base}.branch2.conv_b",
+                       f"{base}.branch2.norm_b")
+                convbn(dst + ("conv_c",), f"{base}.branch2.conv_c",
+                       f"{base}.branch2.norm_c")
+                if f"{base}.branch1_conv.weight" in sd:
+                    convbn(dst + ("shortcut",), f"{base}.branch1_conv",
+                           f"{base}.branch1_norm")
+        if idx < 3:
+            convbn((f"fuse_res{idx + 2}", "fuse"),
+                   f"blocks.{tb}.multipathway_fusion.conv_fast_to_slow",
+                   f"blocks.{tb}.multipathway_fusion.norm")
+
+    params["proj"] = {"kernel": take("blocks.5.proj.weight").T,
+                      "bias": take("blocks.5.proj.bias")}
+
+    leftover = {k for k in sd if k not in used
+                and not k.endswith("num_batches_tracked")}
+    if leftover:
+        raise ValueError(
+            f"unconsumed slowfast checkpoint keys (schema drift?): "
+            f"{sorted(leftover)[:8]}{'...' if len(leftover) > 8 else ''}"
+        )
+    return {"params": params, "batch_stats": stats}
