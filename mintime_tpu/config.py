@@ -41,12 +41,13 @@ class TrainingConfig:
     step_size: int = 5
     augmentation: str = "max"  # min | max
     momentum: float = 0.9
-    # frame-level extractor-pretraining subsampling fractions
+    # frame-level extractor-pretraining knobs
     # (cross-efficient-vit/configs/architecture.yaml:8-11, consumed by
     # mintime_tpu.pretrain_extractor — no effect on video-level training,
     # same as the reference)
     rebalancing_real: float = 1.0
     rebalancing_fake: float = 1.0
+    frames_per_video: int = 30
 
 
 @dataclass(frozen=True)

@@ -337,8 +337,14 @@ def _bucket_of(ratio: int) -> int:
 
 
 def collate(samples: Sequence[dict]) -> dict:
-    """Stack samples into a fixed-shape batch dict."""
-    keys = ["frames", "size_embedding", "mask", "identities_mask", "positions"]
+    """Stack samples into a fixed-shape batch dict. Side tensors are
+    optional so frame-level datasets (pretrain_extractor) ride the same
+    loader."""
+    keys = [
+        k
+        for k in ("frames", "size_embedding", "mask", "identities_mask", "positions")
+        if k in samples[0]
+    ]
     batch = {k: np.stack([s[k] for s in samples]) for k in keys}
     batch["labels"] = np.asarray([s["labels"] for s in samples], np.float32)
     if "video_id" in samples[0]:

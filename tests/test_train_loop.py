@@ -242,3 +242,64 @@ def test_pallas_train_step_on_mesh(faces_dir):
     # step-0 losses identical-ish; step-1 loss reflects the custom_vjp update
     np.testing.assert_allclose(losses[True][0], losses[False][0], rtol=1e-4)
     np.testing.assert_allclose(losses[True][1], losses[False][1], rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_pretrain_extractor_cli(faces_dir, tmp_path):
+    """Frame-level extractor pretraining end to end: manifests → rebalanced
+    frame sampling → jitted train/val epochs → custom_video_round accuracy →
+    reference-format Extractor_checkpoint export loadable by the video
+    trainer (cross-efficient-vit/train.py:44-322 parity)."""
+    from mintime_tpu.pretrain_extractor import main as pretrain_main
+    from mintime_tpu.utils.torch_convert import efficientnet_params_from_torch
+
+    pytest.importorskip("torch")
+    root, videos, labels = faces_dir
+    train_csv = tmp_path / "train.csv"
+    val_csv = tmp_path / "val.csv"
+    rows = [f"{v} {int(l)} {i % 8}" for i, (v, l) in enumerate(zip(videos, labels))]
+    train_csv.write_text("\n".join(rows[:6]) + "\n")
+    val_csv.write_text("\n".join(rows[6:]) + "\n")
+    cfg = tmp_path / "pretrain.yaml"
+    cfg.write_text(
+        "training:\n  bs: 4\n  lr: 0.05\n  optimizer: 'SGD'\n"
+        "  scheduler: 'steplr'\n  step-size: 1\n  gamma: 0.5\n"
+        "  rebalancing-fake: 1.0\n  rebalancing-real: 1.0\n"
+        "  frames-per-video: 4\n  augmentation: 'min'\n"
+        "model:\n  image-size: 32\n  num-classes: 1\n"
+    )
+    best = pretrain_main([
+        "--config", str(cfg),
+        "--train_list_file", str(train_csv),
+        "--validation_list_file", str(val_csv),
+        "--data_path", root,
+        "--num_epochs", "1", "--patience", "2", "--workers", "2",
+        "--models_output_path", str(tmp_path / "out"),
+    ])
+    assert best and os.path.exists(best)
+    import torch
+
+    ext = efficientnet_params_from_torch(torch.load(best, weights_only=True))
+    assert "conv_stem" in ext["params"]
+
+
+def test_collect_frames_rebalancing(faces_dir):
+    from mintime_tpu.pretrain_extractor import collect_frames
+
+    root, videos, labels = faces_dir
+    paths, out_labels = collect_frames(
+        videos, labels, root, frames_per_video=4,
+        rebalancing_real=1.0, rebalancing_fake=0.5,
+    )
+    # fake videos keep half the quota (cross-efficient-vit train.py:88-91)
+    per_video = {}
+    for p, l in zip(paths, out_labels):
+        key = os.path.relpath(p, root).split(os.sep)[0]
+        per_video.setdefault(key, []).append(l)
+    for v, l in zip(videos, labels):
+        expect = 4 if int(l) == 0 else 2
+        assert len(per_video[v]) == min(expect, 5), (v, l)
+    # validation quota: int(max(min/8, 2))
+    vp, _ = collect_frames(videos[:1], labels[:1], root, frames_per_video=16,
+                           validation=True)
+    assert len(vp) == 2
