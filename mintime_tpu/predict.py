@@ -47,10 +47,12 @@ def detect_video_faces(video_path: str, detector, every_n: int = 1) -> tuple[dic
     frames, fps = decode_half_res(video_path)
     if not frames:
         raise ValueError(f"could not decode {video_path}")
-    boxes = {}
-    for idx in range(0, len(frames), every_n):
-        det = detector.detect(frames[idx])
-        boxes[str(idx)] = det[:, :4].tolist() if len(det) else None
+    indices = list(range(0, len(frames), every_n))
+    per_frame = detector.detect_batch([frames[i] for i in indices])
+    boxes = {
+        str(i): det[:, :4].tolist() if len(det) else None
+        for i, det in zip(indices, per_frame)
+    }
     if not any(v for v in boxes.values()):
         raise ValueError("No faces found.")  # predict.py:55-58
     h, w = frames[0].shape[:2]

@@ -37,13 +37,19 @@ def decode_half_res(video_path: str) -> tuple[list[np.ndarray], int]:
 
 
 def detect_video(video_path: str, detector, every_n: int = 1) -> dict:
-    """Run the cascade over (a stride of) the frames → boxes dict."""
+    """Run the cascade over (a stride of) the frames → boxes dict.
+
+    Uses the batched cascade (``detect_batch``): one P-Net dispatch per
+    pyramid level over ALL selected frames instead of a per-frame loop
+    (SURVEY §2.1 "batched MTCNN").
+    """
     frames, _ = decode_half_res(video_path)
-    result: dict[str, list | None] = {}
-    for idx in range(0, len(frames), every_n):
-        boxes = detector.detect(frames[idx])
-        result[str(idx)] = boxes[:, :4].tolist() if len(boxes) else None
-    return result
+    indices = list(range(0, len(frames), every_n))
+    per_frame = detector.detect_batch([frames[i] for i in indices])
+    return {
+        str(i): boxes[:, :4].tolist() if len(boxes) else None
+        for i, boxes in zip(indices, per_frame)
+    }
 
 
 def process_videos(

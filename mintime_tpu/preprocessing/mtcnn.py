@@ -217,80 +217,130 @@ class MTCNNDetector:
 
     def detect(self, img: np.ndarray) -> np.ndarray:
         """Detect faces in one RGB uint8 image → ``(N, 5)`` [x1,y1,x2,y2,score]."""
+        return self.detect_batch([img])[0]
+
+    def detect_batch(self, frames: Sequence[np.ndarray]) -> list[np.ndarray]:
+        """Batched detection over same-shape frames (a video).
+
+        SURVEY §2.1's "batched MTCNN": ONE P-Net call per pyramid level over
+        ALL frames, and ONE bucketed R-Net / O-Net call over all surviving
+        candidates of all frames — device dispatches per video drop from
+        O(frames × levels) to O(levels + 2), which is where the wall-clock
+        goes (per-call dispatch dominates these tiny convnets). NMS and box
+        bookkeeping stay per-frame on host. Matches the per-frame cascade
+        bit-for-bit (same pyramid, thresholds, regression, rounding).
+        """
         import cv2
 
-        img = np.asarray(img)
-        H, W = img.shape[:2]
-        m = 12.0 / self.min_face_size
-        min_dim = min(H, W) * m
-
-        # stage 1: proposal pyramid
-        total = []
-        scale = m
+        frames = [np.asarray(f) for f in frames]
+        T = len(frames)
+        if T == 0:
+            return []
+        H, W = frames[0].shape[:2]
+        scales = []
+        scale = 12.0 / self.min_face_size
         while min(H, W) * scale >= 12:
-            sh, sw = int(np.ceil(H * scale)), int(np.ceil(W * scale))
-            scaled = cv2.resize(img.astype(np.float32), (sw, sh), interpolation=cv2.INTER_AREA)
-            x = (scaled - 127.5) * 0.0078125
-            prob, reg = self._pnet(self.variables["pnet"], x[None])
-            prob = np.asarray(prob)[0, :, :, 1]
-            reg = np.asarray(reg)[0]
-            ys, xs = np.where(prob >= self.thresholds[0])
-            if len(ys):
+            scales.append(scale)
+            scale *= self.factor
+
+        # stage 1: proposal pyramid, one batched P-Net call per level
+        per_frame: list[list] = [[] for _ in range(T)]
+        for s in scales:
+            sh, sw = int(np.ceil(H * s)), int(np.ceil(W * s))
+            batch = np.stack(
+                [
+                    cv2.resize(f.astype(np.float32), (sw, sh),
+                               interpolation=cv2.INTER_AREA)
+                    for f in frames
+                ]
+            )
+            prob, reg = self._pnet(
+                self.variables["pnet"], (batch - 127.5) * 0.0078125
+            )
+            prob = np.asarray(prob)[..., 1]  # (T, h', w')
+            reg = np.asarray(reg)
+            for t in range(T):
+                ys, xs = np.where(prob[t] >= self.thresholds[0])
+                if not len(ys):
+                    continue
                 stride, cell = 2, 12
-                score = prob[ys, xs]
-                q1 = np.stack([xs * stride, ys * stride], axis=1) / scale
-                q2 = (np.stack([xs * stride, ys * stride], axis=1) + cell) / scale
+                score = prob[t, ys, xs]
+                q1 = np.stack([xs * stride, ys * stride], axis=1) / s
+                q2 = (np.stack([xs * stride, ys * stride], axis=1) + cell) / s
                 boxes = np.concatenate([q1, q2, score[:, None]], axis=1)
-                boxreg = reg[ys, xs]
+                boxreg = reg[t, ys, xs]
                 keep = nms(boxes[:, :4], boxes[:, 4], 0.5)
                 boxes, boxreg = boxes[keep], boxreg[keep]
                 boxes[:, :4] = apply_regression(boxes[:, :4], boxreg)[:, :4]
-                total.append(boxes)
-            scale *= self.factor
-        if not total:
-            return np.zeros((0, 5))
-        boxes = np.concatenate(total)
-        keep = nms(boxes[:, :4], boxes[:, 4], 0.7)
-        boxes = boxes[keep]
-        boxes[:, :4] = rerec(boxes[:, :4])[:, :4]
-        boxes[:, :4] = np.round(boxes[:, :4])
+                per_frame[t].append(boxes)
 
-        # stage 2: refine
-        boxes = self._run_stage(img, boxes, 24, self._rnet, "rnet", self.thresholds[1])
-        if len(boxes) == 0:
-            return boxes
-        keep = nms(boxes[:, :4], boxes[:, 4], 0.7)
-        boxes = boxes[keep]
-        boxes[:, :4] = rerec(boxes[:, :4])[:, :4]
-        boxes[:, :4] = np.round(boxes[:, :4])
+        cand: list[np.ndarray] = []
+        for t in range(T):
+            if per_frame[t]:
+                b = np.concatenate(per_frame[t])
+                keep = nms(b[:, :4], b[:, 4], 0.7)
+                b = b[keep]
+                b[:, :4] = np.round(rerec(b[:, :4])[:, :4])
+            else:
+                b = np.zeros((0, 5))
+            cand.append(b)
 
-        # stage 3: output
-        boxes = self._run_stage(img, boxes, 48, self._onet, "onet", self.thresholds[2])
-        if len(boxes) == 0:
-            return boxes
-        keep = nms(boxes[:, :4], boxes[:, 4], 0.7, method="min")
-        return boxes[keep]
+        # stage 2: refine — one bucketed R-Net call over all frames
+        cand = self._run_stage_multi(frames, cand, 24, self._rnet, "rnet",
+                                     self.thresholds[1])
+        for t in range(T):
+            b = cand[t]
+            if len(b):
+                keep = nms(b[:, :4], b[:, 4], 0.7)
+                b = b[keep]
+                b[:, :4] = np.round(rerec(b[:, :4])[:, :4])
+            cand[t] = b
 
-    def _run_stage(self, img, boxes, size, net, name, threshold):
-        if len(boxes) == 0:
-            return np.zeros((0, 5))
-        crops = _crop_resize(img, boxes, size)
+        # stage 3: output — one bucketed O-Net call over all frames
+        cand = self._run_stage_multi(frames, cand, 48, self._onet, "onet",
+                                     self.thresholds[2])
+        out = []
+        for b in cand:
+            if len(b):
+                b = b[nms(b[:, :4], b[:, 4], 0.7, method="min")]
+            out.append(b)
+        return out
+
+    def _run_stage_multi(self, frames, cand, size, net, name, threshold):
+        counts = [len(b) for b in cand]
+        n = sum(counts)
+        if n == 0:
+            return [np.zeros((0, 5)) for _ in cand]
+        crops = np.zeros((n, size, size, 3), np.float32)
+        off = 0
+        for t, b in enumerate(cand):
+            if len(b):
+                crops[off : off + len(b)] = _crop_resize(frames[t], b, size)
+                off += len(b)
         # pad candidate count to a bucket so the jit cache stays warm
-        n = len(crops)
-        b = _bucket(n)
-        if b > n:
-            crops = np.concatenate([crops, np.zeros((b - n,) + crops.shape[1:], np.float32)])
-        x = (crops - 127.5) * 0.0078125
-        out = net(self.variables[name], x)
+        bkt = _bucket(n)
+        if bkt > n:
+            crops = np.concatenate(
+                [crops, np.zeros((bkt - n,) + crops.shape[1:], np.float32)]
+            )
+        out = net(self.variables[name], (crops - 127.5) * 0.0078125)
         prob = np.asarray(out[0])[:n, 1]
         reg = np.asarray(out[1])[:n]
-        keep = prob >= threshold
-        if not keep.any():
-            return np.zeros((0, 5))
-        new = boxes[keep].copy()
-        new[:, 4] = prob[keep]
-        new[:, :4] = apply_regression(new[:, :4], reg[keep])[:, :4]
-        return new
+        results = []
+        off = 0
+        for t, b in enumerate(cand):
+            k = len(b)
+            p, r = prob[off : off + k], reg[off : off + k]
+            off += k
+            keep = p >= threshold
+            if not keep.any():
+                results.append(np.zeros((0, 5)))
+                continue
+            new = b[keep].copy()
+            new[:, 4] = p[keep]
+            new[:, :4] = apply_regression(new[:, :4], r[keep])[:, :4]
+            results.append(new)
+        return results
 
 
 def mtcnn_params_from_torch(pnet_sd, rnet_sd, onet_sd) -> dict:

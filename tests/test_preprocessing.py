@@ -46,6 +46,26 @@ class TestMTCNNStructure:
         boxes = det.detect(img)
         assert boxes.ndim == 2 and boxes.shape[1] in (0, 5)
 
+    def test_detect_batch_matches_per_frame(self):
+        """The batched cascade (one P-Net call per pyramid level over all
+        frames, one bucketed R/O-Net call) is bit-identical to running the
+        cascade frame by frame."""
+        det = MTCNNDetector(
+            MTCNNDetector.init_variables(), thresholds=(0.4, 0.4, 0.4)
+        )
+        rng = np.random.default_rng(3)
+        frames = [
+            (rng.random((60, 80, 3)) * 255).astype(np.uint8) for _ in range(5)
+        ]
+        batched = det.detect_batch(frames)
+        assert len(batched) == 5
+        found = 0
+        for f, b in zip(frames, batched):
+            single = det.detect_batch([f])[0]
+            np.testing.assert_allclose(b, single, rtol=1e-5, atol=1e-5)
+            found += len(b)
+        assert found > 0, "lowered thresholds must yield candidates"
+
 
 class TestCropGeometry:
     def test_square_output(self):
