@@ -48,7 +48,10 @@ def detect_video_faces(video_path: str, detector, every_n: int = 1) -> tuple[dic
     if not frames:
         raise ValueError(f"could not decode {video_path}")
     indices = list(range(0, len(frames), every_n))
-    per_frame = detector.detect_batch([frames[i] for i in indices])
+    if hasattr(detector, "detect_batch"):  # batched cascade (SURVEY §2.1)
+        per_frame = detector.detect_batch([frames[i] for i in indices])
+    else:  # injected single-frame detectors (tests, custom backends)
+        per_frame = [detector.detect(frames[i]) for i in indices]
     boxes = {
         str(i): det[:, :4].tolist() if len(det) else None
         for i, det in zip(indices, per_frame)

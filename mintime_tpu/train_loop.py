@@ -65,9 +65,12 @@ def fit(
     starting_epoch: int = 0,
 ) -> tuple:
     """Run the training loop; returns (final_state, FitResult)."""
+    from mintime_tpu.train import make_schedule
+
     train_step, eval_step = jit_steps(model, mesh, pos_weight)
     logger = ScalarLogger(log_dir)
     rng = rng if rng is not None else jax.random.key(0)
+    schedule = make_schedule(cfg, max(len(train_loader), 1), num_epochs)
 
     not_improved = 0
     previous_loss = math.inf
@@ -120,6 +123,8 @@ def fit(
             )
             logger.add_scalar("Training/Loss", train_loss, epoch)
             logger.add_scalar("Training/Accuracy", train_acc, epoch)
+            lr = schedule(int(state.step)) if callable(schedule) else schedule
+            logger.add_scalar("Training/Learning_Rate", float(lr), epoch)
             logger.add_scalar("Validation/Loss", val_loss, epoch)
             logger.add_scalar("Validation/Accuracy", val_acc, epoch)
 

@@ -123,7 +123,12 @@ def load_model_variables(
             "params": {"slowfast": conv["params"]},
             "batch_stats": {"slowfast": conv["batch_stats"]},
         }
-    head_params = timesformer_params_from_torch(head_sd, cfg.model)
+    if getattr(model, "head", None) == "baseline":
+        from mintime_tpu.utils.torch_convert import baseline_params_from_torch
+
+        head_params = baseline_params_from_torch(head_sd)
+    else:
+        head_params = timesformer_params_from_torch(head_sd, cfg.model)
     params: dict = {"head": head_params}
     stats: dict = {}
     if extractor_weights:

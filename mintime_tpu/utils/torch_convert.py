@@ -400,3 +400,74 @@ def slowfast_params_from_torch(state_dict: Mapping[str, object]) -> dict:
             f"{sorted(leftover)[:8]}{'...' if len(leftover) > 8 else ''}"
         )
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Baseline MLP head (reference models/baseline.py:15-37)
+# ---------------------------------------------------------------------------
+
+
+def baseline_params_from_torch(state_dict: Mapping[str, object]) -> dict:
+    """Reference Baseline checkpoint (``mlp_head.{0,1}.weight/bias``) →
+    :class:`mintime_tpu.models.baseline.Baseline` params."""
+    sd = strip_prefixes(state_dict)
+    return {
+        "mlp_0": _linear(sd, "mlp_head.0"),
+        "mlp_1": _linear(sd, "mlp_head.1"),
+    }
+
+
+def baseline_params_to_torch(params) -> dict:
+    """Inverse of :func:`baseline_params_from_torch`."""
+    return {
+        "mlp_head.0.weight": _np(params["mlp_0"]["kernel"]).T,
+        "mlp_head.0.bias": _np(params["mlp_0"]["bias"]),
+        "mlp_head.1.weight": _np(params["mlp_1"]["kernel"]).T,
+        "mlp_head.1.bias": _np(params["mlp_1"]["bias"]),
+    }
+
+
+def xception_params_to_torch(variables) -> dict:
+    """Inverse of :func:`xception_params_from_torch` (SenseTime key names,
+    models/xception.py:82-229), so TPU-trained MINTIME-XC extractors load
+    into the reference via its loose state-dict loader (:242-272)."""
+    from mintime_tpu.models.xception import BLOCK_SPECS
+
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: dict = {}
+
+    def conv(prefix, leaf):
+        sd[f"{prefix}.weight"] = _np(leaf["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in leaf:
+            sd[f"{prefix}.bias"] = _np(leaf["bias"])
+
+    def bn(prefix, pleaf, sleaf):
+        sd[f"{prefix}.weight"] = _np(pleaf["scale"])
+        sd[f"{prefix}.bias"] = _np(pleaf["bias"])
+        sd[f"{prefix}.running_mean"] = _np(sleaf["mean"])
+        sd[f"{prefix}.running_var"] = _np(sleaf["var"])
+
+    def sep(prefix, leaf):
+        conv(f"{prefix}.conv1", leaf["depthwise"])
+        conv(f"{prefix}.pointwise", leaf["pointwise"])
+
+    conv("conv1", params["conv1"])
+    bn("bn1", params["bn1"], stats["bn1"])
+    conv("conv2", params["conv2"])
+    bn("bn2", params["bn2"], stats["bn2"])
+    for bi, (cin, cout, reps, stride, swr, gf) in enumerate(BLOCK_SPECS):
+        blk, bst = params[f"block_{bi + 1}"], stats[f"block_{bi + 1}"]
+        base = f"block{bi + 1}"
+        off = 1 if swr else 0  # rep Sequential: [relu?] sep bn relu sep bn ...
+        for i in range(reps):
+            sep(f"{base}.rep.{3 * i + off}", blk[f"sep_{i}"])
+            bn(f"{base}.rep.{3 * i + off + 1}", blk[f"bn_{i}"], bst[f"bn_{i}"])
+        if cout != cin or stride != 1:
+            conv(f"{base}.skip", blk["skip_conv"])
+            bn(f"{base}.skipbn", blk["skip_bn"], bst["skip_bn"])
+    sep("conv3", params["conv3"])
+    bn("bn3", params["bn3"], stats["bn3"])
+    sep("conv4", params["conv4"])
+    bn("bn4", params["bn4"], stats["bn4"])
+    return sd

@@ -241,3 +241,66 @@ def test_efficientnet_export_roundtrip():
                 np.asarray(v), np.asarray(b_flat[tuple(str(k) for k in p)]),
                 err_msg=str(p),
             )
+
+
+def test_xception_to_torch_roundtrip():
+    from mintime_tpu.models.xception import Xception
+    from mintime_tpu.utils.torch_convert import (
+        xception_params_from_torch,
+        xception_params_to_torch,
+    )
+
+    bb = Xception()
+    variables = jax.jit(bb.init, static_argnames=("train",))(
+        jax.random.key(0), np.zeros((1, 64, 64, 3), np.float32), train=False
+    )
+    sd = xception_params_to_torch(variables)
+    back = xception_params_from_torch(sd)
+    for coll in ("params", "batch_stats"):
+        flat_a = jax.tree_util.tree_flatten_with_path(variables[coll])[0]
+        b_flat = {tuple(str(k) for k in p): v
+                  for p, v in jax.tree_util.tree_flatten_with_path(back[coll])[0]}
+        assert len(flat_a) == len(b_flat)
+        for p, v in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(b_flat[tuple(str(k) for k in p)]),
+                err_msg=str(p),
+            )
+
+
+def test_baseline_converter_roundtrip_and_torch_parity():
+    """Baseline head: reference state_dict → flax params parity + roundtrip."""
+    torch = pytest.importorskip("torch")
+    import sys
+
+    from mintime_tpu.models.baseline import Baseline
+    from mintime_tpu.utils.torch_convert import (
+        baseline_params_from_torch,
+        baseline_params_to_torch,
+    )
+
+    import os
+
+    # the reference baseline.py imports pip packages absent here; the golden
+    # harness shims satisfy them (tests/ref_shims)
+    shim_dir = os.path.join(os.path.dirname(__file__), "ref_shims")
+    for p in (shim_dir, "/root/reference"):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    cfg = ModelConfig(dim=32, mlp_dim=16, num_classes=1, num_frames=8,
+                      num_patches=1, channels=32)
+    try:
+        from models.baseline import Baseline as RefBaseline  # noqa
+    except Exception as e:
+        pytest.skip(f"reference import failed: {e}")
+    ref = RefBaseline(config={"model": {"dim": 32, "mlp-dim": 16,
+                                        "num-classes": 1}})
+    params = baseline_params_from_torch(ref.state_dict())
+    x = np.random.default_rng(0).standard_normal((3, 4, 4, 32)).astype(np.float32)
+    ours = Baseline(cfg).apply({"params": params}, x)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-5)
+    back = baseline_params_from_torch(baseline_params_to_torch(params))
+    for k in ("mlp_0", "mlp_1"):
+        np.testing.assert_array_equal(params[k]["kernel"], back[k]["kernel"])
