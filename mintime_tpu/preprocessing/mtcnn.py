@@ -198,11 +198,37 @@ class MTCNNDetector:
     thresholds: tuple = (0.85, 0.95, 0.95)  # face_detector.py:42-46
     min_face_size: int = 20
     factor: float = 0.709
+    # device→host compaction cap: per frame and pyramid level, only the
+    # top-K P-Net cells come back to the host (K ≥ the above-threshold
+    # count in practice; raise for pathological inputs / low thresholds)
+    pnet_topk: int = 512
+    # host→device dtype for pyramid levels. "uint8" quarters the link
+    # traffic vs float32 at the cost of post-resize rounding (±0.5/255 input
+    # noise vs the reference's float resample — PARITY.md #19); "float32"
+    # is the exact reference numerics.
+    transfer_dtype: str = "uint8"
 
     def __post_init__(self):
-        self._pnet = jax.jit(partial(PNet().apply))
         self._rnet = jax.jit(partial(RNet().apply))
         self._onet = jax.jit(partial(ONet().apply))
+
+        # P-Net level program: uint8 frames in (4x less host→device traffic
+        # than float32), normalize on device, and return only the top-K
+        # cells per frame (scores, flat indices, 4 regressions) — the dense
+        # (T, h', w', 6) maps never cross the link. On the axon tunnel
+        # (~25-55 MB/s) this is the difference between 5 and >25 fps.
+        @partial(jax.jit, static_argnames=("k",))
+        def pnet_topk(variables, frames, k):
+            x = (frames.astype(jnp.float32) - 127.5) * 0.0078125
+            prob, reg = PNet().apply(variables, x)
+            t, gh, gw = prob.shape[:3]
+            scores = prob[..., 1].reshape(t, -1)
+            reg = reg.reshape(t, -1, 4)
+            top_scores, idx = jax.lax.top_k(scores, min(k, gh * gw))
+            top_reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
+            return top_scores, idx, top_reg
+
+        self._pnet_topk = pnet_topk
 
     @staticmethod
     def init_variables(rng=None) -> dict:
@@ -243,32 +269,53 @@ class MTCNNDetector:
             scales.append(scale)
             scale *= self.factor
 
-        # stage 1: proposal pyramid, one batched P-Net call per level
+        # stage 1: proposal pyramid, one batched P-Net call per level;
+        # thresholding happens on device via top-k compaction
         per_frame: list[list] = [[] for _ in range(T)]
         for s in scales:
             sh, sw = int(np.ceil(H * s)), int(np.ceil(W * s))
-            batch = np.stack(
-                [
-                    cv2.resize(f.astype(np.float32), (sw, sh),
-                               interpolation=cv2.INTER_AREA)
-                    for f in frames
-                ]
+            if self.transfer_dtype == "uint8":
+                batch = np.stack(
+                    [cv2.resize(f, (sw, sh), interpolation=cv2.INTER_AREA)
+                     for f in frames]
+                )
+            else:  # exact reference numerics: resample in float
+                batch = np.stack(
+                    [cv2.resize(f.astype(np.float32), (sw, sh),
+                                interpolation=cv2.INTER_AREA)
+                     for f in frames]
+                ).astype(self.transfer_dtype)
+            _, gh, gw = jax.eval_shape(
+                lambda v, x: PNet().apply(v, x.astype(jnp.float32)),
+                self.variables["pnet"],
+                jax.ShapeDtypeStruct(batch.shape, batch.dtype),
+            )[0].shape[:3]  # grid dims for flat-index decode
+            top_scores, top_idx, top_reg = (
+                np.asarray(a)
+                for a in self._pnet_topk(
+                    self.variables["pnet"], batch, k=self.pnet_topk
+                )
             )
-            prob, reg = self._pnet(
-                self.variables["pnet"], (batch - 127.5) * 0.0078125
-            )
-            prob = np.asarray(prob)[..., 1]  # (T, h', w')
-            reg = np.asarray(reg)
+            truncated = top_scores.shape[1] < gh * gw
+            if truncated and (top_scores[:, -1] >= self.thresholds[0]).any():
+                import warnings
+
+                warnings.warn(
+                    f"P-Net top-{self.pnet_topk} truncated above-threshold"
+                    f" cells at scale {s:.3f}; raise MTCNNDetector.pnet_topk",
+                    stacklevel=2,
+                )
             for t in range(T):
-                ys, xs = np.where(prob[t] >= self.thresholds[0])
-                if not len(ys):
+                keep_k = top_scores[t] >= self.thresholds[0]
+                if not keep_k.any():
                     continue
                 stride, cell = 2, 12
-                score = prob[t, ys, xs]
+                score = top_scores[t][keep_k]
+                ys, xs = np.divmod(top_idx[t][keep_k], gw)
                 q1 = np.stack([xs * stride, ys * stride], axis=1) / s
                 q2 = (np.stack([xs * stride, ys * stride], axis=1) + cell) / s
                 boxes = np.concatenate([q1, q2, score[:, None]], axis=1)
-                boxreg = reg[t, ys, xs]
+                boxreg = top_reg[t][keep_k]
                 keep = nms(boxes[:, :4], boxes[:, 4], 0.5)
                 boxes, boxreg = boxes[keep], boxreg[keep]
                 boxes[:, :4] = apply_regression(boxes[:, :4], boxreg)[:, :4]
