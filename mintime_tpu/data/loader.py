@@ -98,6 +98,21 @@ class DataLoader:
 
         arrays = {k: v for k, v in item.items() if isinstance(v, np.ndarray)}
         rest = {k: v for k, v in item.items() if k not in arrays}
+        # Pad partial batches to the full batch_size by cyclically repeating
+        # real samples (not zeros: zero frames would skew BatchNorm batch
+        # statistics in train mode), and mark pads with a 0 in ``valid``.
+        # Stable shapes mean ONE jit trace for every batch of the run, and
+        # the batch axis always divides the mesh's data axis. The train/eval
+        # steps weight loss and metrics by ``valid`` so pads are inert
+        # (the torch reference instead runs a smaller final batch,
+        # train.py:265-276 — impossible here without a retrace).
+        n = next(iter(arrays.values())).shape[0] if arrays else 0
+        if arrays and n < self.batch_size:
+            reps = np.resize(np.arange(n), self.batch_size - n)
+            arrays = {
+                k: np.concatenate([v, v[reps]]) for k, v in arrays.items()
+            }
+        arrays["valid"] = (np.arange(self.batch_size) < n).astype(np.float32)
         return {**shard_batch(self.mesh, arrays), **rest}
 
     def __iter__(self) -> Iterator[dict]:

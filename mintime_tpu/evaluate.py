@@ -115,7 +115,8 @@ def main(argv=None):
                    help="root of the original .mp4s for size buckets when no"
                         " video_dims.json sidecars exist (test.py:47)")
     p.add_argument("--model", type=int, default=1,
-                   help="0 baseline | 1 timesformer | 2 slowfast (test.py:121-126)")
+                   help="0 baseline | 1 timesformer | 2 slowfast "
+                        "(test.py:121-126) | 3 conv-timesformer (extension)")
     p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
     p.add_argument("--only_multiidentity", action="store_true", default=False)
     p.add_argument("--save_attentions", action="store_true", default=False)
@@ -152,6 +153,10 @@ def main(argv=None):
 
         model = SlowFastClassifier(num_classes=cfg.model.num_classes,
                                    dtype=jnp.bfloat16)
+    elif opt.model == 3:  # extension: the reference never wires this model
+        from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
+
+        model = ConvolutionalTimeSformer(cfg.model, dtype=jnp.bfloat16)
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
         head = "baseline" if opt.model == 0 else "timesformer"

@@ -32,10 +32,15 @@ from mintime_tpu.models.timesformer import _INIT, DividedAttention, GEGLU
 
 
 class ConvolutionalTimeSformer(nn.Module):
-    """frames (B,F,H,W,3) → logits (B, num_classes)."""
+    """frames (B,F,H,W,3) → logits (B, num_classes).
+
+    ``head`` routes frame/mask/size batches through the shared train-step
+    machinery (:func:`mintime_tpu.train.model_inputs`).
+    """
 
     config: ModelConfig
     dtype: Any = None
+    head: str = "conv_timesformer"
 
     @nn.compact
     def __call__(self, frames, mask=None, size_embedding=None, train: bool = False):

@@ -315,6 +315,21 @@ def main(argv=None):
                    help="(reference CLI compatibility; unused)")
     opt = p.parse_args(argv)
 
+    # a random-init cascade detects nothing and a random embedder produces
+    # garbage clusters — require real weights on the user-facing CLI rather
+    # than silently degrading (detect_faces.py warns; here we fail hard,
+    # and before any expensive model build / checkpoint load).
+    if not opt.mtcnn_weights or not opt.facenet_weights:
+        p.error(
+            "--mtcnn_weights (dir with pnet.pt/rnet.pt/onet.pt) and "
+            "--facenet_weights (InceptionResnetV1 vggface2 state_dict) are "
+            "required: the facenet-pytorch pretrained weights the reference "
+            "loads implicitly (face_detector.py:42-46, preprocessing/utils.py"
+            ":32-34) cannot be auto-downloaded here."
+        )
+    if not os.path.exists(opt.model_weights):
+        p.error(f"--model_weights not found: {opt.model_weights}")
+
     cfg = load_config(opt.config)
     backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
     model = MintimeVideoClassifier(
@@ -329,17 +344,6 @@ def main(argv=None):
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights
     )
 
-    # a random-init cascade detects nothing and a random embedder produces
-    # garbage clusters — require real weights on the user-facing CLI rather
-    # than silently degrading (detect_faces.py warns; here we fail hard).
-    if not opt.mtcnn_weights or not opt.facenet_weights:
-        p.error(
-            "--mtcnn_weights (dir with pnet.pt/rnet.pt/onet.pt) and "
-            "--facenet_weights (InceptionResnetV1 vggface2 state_dict) are "
-            "required: the facenet-pytorch pretrained weights the reference "
-            "loads implicitly (face_detector.py:42-46, preprocessing/utils.py"
-            ":32-34) cannot be auto-downloaded here."
-        )
     import torch
 
     from mintime_tpu.preprocessing.facenet import facenet_params_from_torch

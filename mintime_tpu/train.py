@@ -47,15 +47,20 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def bce_with_logits(logits, labels, pos_weight: float = 1.0):
+def bce_with_logits(logits, labels, pos_weight: float = 1.0, weights=None):
     """torch.nn.BCEWithLogitsLoss(pos_weight=...) semantics (train.py:261).
 
-    mean over elements of ``(1-y)x + (1 + (w-1)y) * softplus(-x)``.
+    mean over elements of ``(1-y)x + (1 + (w-1)y) * softplus(-x)``; with
+    ``weights`` (the loader's per-sample ``valid`` mask for padded partial
+    batches) a weighted mean over the real samples only.
     """
     x = logits.astype(jnp.float32).reshape(-1)
     y = labels.astype(jnp.float32).reshape(-1)
     per = (1.0 - y) * x + (1.0 + (pos_weight - 1.0) * y) * jax.nn.softplus(-x)
-    return per.mean()
+    if weights is None:
+        return per.mean()
+    w = weights.astype(jnp.float32).reshape(-1)
+    return (per * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 def make_schedule(cfg: MintimeConfig, steps_per_epoch: int, num_epochs: int):
@@ -152,6 +157,8 @@ def extractor_unfreeze_mask(unfreeze_blocks: int):
 def model_inputs(batch: Mapping[str, Any], head: str) -> tuple:
     if head in ("baseline", "slowfast", "frame"):
         return (batch["frames"],)
+    if head == "conv_timesformer":  # convolutional_timesformer_base.py:203-240
+        return (batch["frames"], batch["mask"], batch["size_embedding"])
     return (
         batch["frames"],
         batch["mask"],
@@ -203,7 +210,9 @@ def make_train_step(
             mutable=mutable,
         )
         logits, updated = out if mutable else (out, {})
-        loss = bce_with_logits(logits, batch["labels"], pos_weight)
+        loss = bce_with_logits(
+            logits, batch["labels"], pos_weight, weights=batch.get("valid")
+        )
         return loss, (logits, updated.get("batch_stats", batch_stats))
 
     def train_step(state: TrainState, batch, rng):
@@ -214,11 +223,17 @@ def make_train_step(
         state = state.apply_gradients(grads, new_stats)
         preds = (jax.nn.sigmoid(logits.reshape(-1)) >= 0.5).astype(jnp.int32)
         labels = batch["labels"].reshape(-1).astype(jnp.int32)
+        valid = batch.get("valid")
+        valid = (
+            jnp.ones(preds.shape, jnp.float32)
+            if valid is None
+            else valid.reshape(-1).astype(jnp.float32)
+        )
         metrics = {
             "loss": loss,
-            "correct": (preds == labels).sum(),
-            "positive": preds.sum(),
-            "count": preds.shape[0],
+            "correct": ((preds == labels) * valid).sum(),
+            "positive": (preds * valid).sum(),
+            "count": valid.sum(),
         }
         return state, metrics
 
@@ -231,7 +246,9 @@ def make_eval_step(model: MintimeVideoClassifier, pos_weight: float = 1.0) -> Ca
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         logits = model.apply(variables, *model_inputs(batch, model.head), train=False)
-        loss = bce_with_logits(logits, batch["labels"], pos_weight)
+        loss = bce_with_logits(
+            logits, batch["labels"], pos_weight, weights=batch.get("valid")
+        )
         return {"logits": logits.reshape(-1), "loss": loss}
 
     return eval_step

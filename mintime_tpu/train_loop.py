@@ -108,6 +108,9 @@ def fit(
                 out = eval_step(state, batch)
                 logits = np.asarray(out["logits"])
                 labels = np.asarray(batch["labels"]).reshape(-1)
+                if "valid" in batch:  # drop partial-batch pads (loader._shard)
+                    keep = np.asarray(batch["valid"]).reshape(-1) > 0
+                    logits, labels = logits[keep], labels[keep]
                 val_loss_sum += float(out["loss"])
                 val_correct += int(
                     ((1 / (1 + np.exp(-logits)) >= 0.5) == (labels >= 0.5)).sum()
@@ -162,7 +165,10 @@ def main(argv=None):
     p = argparse.ArgumentParser("mintime-tpu train (train.py parity)")
     p.add_argument("--config", default="configs/size_invariant_timesformer.yaml")
     p.add_argument("--model", type=int, default=1,
-                   help="0 baseline | 1 timesformer | 2 slowfast (train.py:136-148)")
+                   help="0 baseline | 1 timesformer | 2 slowfast "
+                        "(train.py:136-148) | 3 conv-timesformer (an "
+                        "extension: the reference ships the model but never "
+                        "wires it into a CLI)")
     p.add_argument("--extractor_model", type=int, default=0, help="0 effnet | 1 xception")
     p.add_argument("--extractor_weights", default=None)
     p.add_argument("--freeze_backbone", action="store_true", default=False)
@@ -215,7 +221,15 @@ def main(argv=None):
         identities_ordering=opt.identities_ordering, seed=opt.random_state,
         video_path=opt.video_path,
     )
-    mesh = make_mesh()
+    # the data axis must divide both batch sizes (batches are padded to the
+    # full batch size by the loader); use the largest compatible device count
+    ndev = len(jax.devices())
+    dp = next(k for k in range(ndev, 0, -1)
+              if cfg.training.bs % k == 0 and cfg.training.val_bs % k == 0)
+    if dp < ndev:
+        print(f"note: using {dp}/{ndev} devices so the data axis divides "
+              f"bs={cfg.training.bs} / val-bs={cfg.training.val_bs}")
+    mesh = make_mesh(jax.devices()[:dp])
     train_loader = DataLoader(mk(train_man, "train"), cfg.training.bs,
                               num_workers=opt.workers, mesh=mesh, seed=opt.random_state)
     val_loader = DataLoader(mk(val_man, "val"), cfg.training.val_bs,
@@ -227,6 +241,10 @@ def main(argv=None):
         model = SlowFastClassifier(
             num_classes=cfg.model.num_classes, dtype=jnp.bfloat16
         )
+    elif opt.model == 3:
+        from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
+
+        model = ConvolutionalTimeSformer(cfg.model, dtype=jnp.bfloat16)
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
         head = "baseline" if opt.model == 0 else "timesformer"

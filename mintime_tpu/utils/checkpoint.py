@@ -127,6 +127,12 @@ def load_model_variables(
         from mintime_tpu.utils.torch_convert import baseline_params_from_torch
 
         head_params = baseline_params_from_torch(head_sd)
+    elif getattr(model, "head", None) == "conv_timesformer":
+        raise ValueError(
+            "conv-timesformer has no reference checkpoint format (the "
+            "reference model file is non-runnable and never saved one, "
+            "PARITY.md #7) — pass an orbax checkpoint directory instead"
+        )
     else:
         head_params = timesformer_params_from_torch(head_sd, cfg.model)
     params: dict = {"head": head_params}

@@ -303,3 +303,36 @@ def test_collect_frames_rebalancing(faces_dir):
     vp, _ = collect_frames(videos[:1], labels[:1], root, frames_per_video=16,
                            validation=True)
     assert len(vp) == 2
+
+
+@pytest.mark.slow
+def test_conv_timesformer_train_and_eval(faces_dir, tmp_path):
+    """--model 3 extension: the ConvolutionalTimeSformer trains a step and
+    evaluates through the shared machinery (the reference ships the model
+    but never wires it, convolutional_timesformer_base.py:144-240)."""
+    from mintime_tpu.evaluate import evaluate
+    from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
+    from mintime_tpu.parallel.mesh import shard_batch
+    from mintime_tpu.train import jit_steps
+
+    cfg_m = ModelConfig(
+        image_size=32, num_frames=8, num_patches=1, channels=1280,
+        dim=32, depth=1, heads=2, dim_head=16, max_identities=2,
+        efficient_net_block=20,
+    )
+    cfg = MintimeConfig(model=cfg_m, training=TrainingConfig(bs=4, val_bs=4, lr=0.05))
+    mesh = make_mesh(jax.devices()[:4])
+    model = ConvolutionalTimeSformer(cfg_m)
+    example = next(iter(make_loader(faces_dir, "val")))
+    state = create_train_state(
+        jax.random.key(0), model, example, cfg, steps_per_epoch=2, num_epochs=1
+    )
+    with jax.set_mesh(mesh):
+        train_step, _ = jit_steps(model, mesh, pos_weight=1.0)
+        state, metrics = train_step(state, shard_batch(mesh, example),
+                                    jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    report = evaluate(model, variables, make_loader(faces_dir, "val"))
+    assert report["n_videos"] > 0 and np.isfinite(report["loss"])
