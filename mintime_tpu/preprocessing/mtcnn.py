@@ -190,6 +190,38 @@ def _bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
+def _area_matrix(si: int, so: int) -> np.ndarray:
+    """Row-stochastic (so, si) matrix applying torch ``interpolate(mode=
+    'area')`` / adaptive-avg-pool semantics: output pixel i uniformly
+    averages input pixels [floor(i*si/so), ceil((i+1)*si/so)) — the resize
+    the reference's facenet-pytorch pyramid uses. Separable: a 2-D area
+    resize is ``A_h @ img @ A_w.T``, i.e. two MXU matmuls on TPU."""
+    a = np.zeros((so, si), np.float32)
+    for i in range(so):
+        lo = (i * si) // so
+        hi = -(-((i + 1) * si) // so)
+        a[i, lo:hi] = 1.0 / (hi - lo)
+    return a
+
+
+def _pnet_grid(sh: int, sw: int) -> tuple[int, int]:
+    """P-Net output grid dims for an (sh, sw) input: 3x3 VALID conv (-2),
+    2/2 ceil max-pool, then two more 3x3 VALID convs (-4)."""
+    return -(-(sh - 2) // 2) - 4, -(-(sw - 2) // 2) - 4
+
+
+def _bucket_frames(t: int) -> int:
+    """Frame-count bucket for the P-Net pyramid: next multiple of 32 (min 8).
+
+    Every distinct (T, H, W) triple is a fresh XLA program per pyramid level
+    (~12 levels x seconds of remote compile); videos differ by a few frames
+    all the time, so quantize T. A multiple-of-32 step bounds the padding
+    waste at ~10% of a 300-frame clip while collapsing all 289..320-frame
+    videos onto one set of programs (the persistent compile cache then makes
+    repeat resolutions free across runs)."""
+    return 8 if t <= 8 else -(-t // 32) * 32
+
+
 @dataclass
 class MTCNNDetector:
     """Full 3-stage cascade. ``variables`` maps net name → flax variables."""
@@ -202,33 +234,51 @@ class MTCNNDetector:
     # top-K P-Net cells come back to the host (K ≥ the above-threshold
     # count in practice; raise for pathological inputs / low thresholds)
     pnet_topk: int = 512
-    # host→device dtype for pyramid levels. "uint8" quarters the link
-    # traffic vs float32 at the cost of post-resize rounding (±0.5/255 input
-    # noise vs the reference's float resample — PARITY.md #19); "float32"
-    # is the exact reference numerics.
-    transfer_dtype: str = "uint8"
 
     def __post_init__(self):
         self._rnet = jax.jit(partial(RNet().apply))
         self._onet = jax.jit(partial(ONet().apply))
 
-        # P-Net level program: uint8 frames in (4x less host→device traffic
-        # than float32), normalize on device, and return only the top-K
-        # cells per frame (scores, flat indices, 4 regressions) — the dense
-        # (T, h', w', 6) maps never cross the link. On the axon tunnel
-        # (~25-55 MB/s) this is the difference between 5 and >25 fps.
-        @partial(jax.jit, static_argnames=("k",))
-        def pnet_topk(variables, frames, k):
-            x = (frames.astype(jnp.float32) - 127.5) * 0.0078125
-            prob, reg = PNet().apply(variables, x)
-            t, gh, gw = prob.shape[:3]
-            scores = prob[..., 1].reshape(t, -1)
-            reg = reg.reshape(t, -1, 4)
-            top_scores, idx = jax.lax.top_k(scores, min(k, gh * gw))
-            top_reg = jnp.take_along_axis(reg, idx[..., None], axis=1)
-            return top_scores, idx, top_reg
+        # Stage-1 pyramid as ONE XLA program: raw uint8 frames cross the
+        # host→device link once (lossless — the pyramid is computed on
+        # device in fp32 via area-resize matmuls, reference numerics), every
+        # level's P-Net runs in the same dispatch, and only the top-K cells
+        # per frame and level (score, flat index, 4 regressions) come back —
+        # the dense (T, h', w', 6) maps and the 12-levels-of-resized-frames
+        # traffic never touch the link. On the axon tunnel (~25-55 MB/s)
+        # transfer+dispatch dominate the tiny convnet; this is the
+        # difference between ~5 and >25 fps. Level results are concatenated
+        # along the k axis so the host does 3 fetches, not 3·levels.
+        @partial(jax.jit, static_argnames=("scales", "k"))
+        def pnet_pyramid(variables, frames, scales, k):
+            x = frames.astype(jnp.float32)
+            h, w = x.shape[1:3]
+            scores_all, idx_all, reg_all = [], [], []
+            for s in scales:
+                sh, sw = int(np.ceil(h * s)), int(np.ceil(w * s))
+                lvl = jnp.einsum(
+                    "ah,thwc->tawc", jnp.asarray(_area_matrix(h, sh)), x,
+                    preferred_element_type=jnp.float32,
+                )
+                lvl = jnp.einsum(
+                    "bw,tawc->tabc", jnp.asarray(_area_matrix(w, sw)), lvl,
+                    preferred_element_type=jnp.float32,
+                )
+                prob, reg = PNet().apply(variables, (lvl - 127.5) * 0.0078125)
+                t, gh, gw = prob.shape[:3]
+                scores = prob[..., 1].reshape(t, gh * gw)
+                reg = reg.reshape(t, gh * gw, 4)
+                top_scores, idx = jax.lax.top_k(scores, min(k, gh * gw))
+                scores_all.append(top_scores)
+                idx_all.append(idx)
+                reg_all.append(jnp.take_along_axis(reg, idx[..., None], axis=1))
+            return (
+                jnp.concatenate(scores_all, axis=1),
+                jnp.concatenate(idx_all, axis=1),
+                jnp.concatenate(reg_all, axis=1),
+            )
 
-        self._pnet_topk = pnet_topk
+        self._pnet_pyramid = pnet_pyramid
 
     @staticmethod
     def init_variables(rng=None) -> dict:
@@ -256,8 +306,6 @@ class MTCNNDetector:
         bookkeeping stay per-frame on host. Matches the per-frame cascade
         bit-for-bit (same pyramid, thresholds, regression, rounding).
         """
-        import cv2
-
         frames = [np.asarray(f) for f in frames]
         T = len(frames)
         if T == 0:
@@ -269,35 +317,33 @@ class MTCNNDetector:
             scales.append(scale)
             scale *= self.factor
 
-        # stage 1: proposal pyramid, one batched P-Net call per level;
-        # thresholding happens on device via top-k compaction
+        # stage 1: the whole proposal pyramid is ONE device dispatch; only
+        # top-k-compacted cells come back (see pnet_pyramid above)
         per_frame: list[list] = [[] for _ in range(T)]
-        for s in scales:
-            sh, sw = int(np.ceil(H * s)), int(np.ceil(W * s))
-            if self.transfer_dtype == "uint8":
-                batch = np.stack(
-                    [cv2.resize(f, (sw, sh), interpolation=cv2.INTER_AREA)
-                     for f in frames]
-                )
-            else:  # exact reference numerics: resample in float
-                batch = np.stack(
-                    [cv2.resize(f.astype(np.float32), (sw, sh),
-                                interpolation=cv2.INTER_AREA)
-                     for f in frames]
-                ).astype(self.transfer_dtype)
-            _, gh, gw = jax.eval_shape(
-                lambda v, x: PNet().apply(v, x.astype(jnp.float32)),
-                self.variables["pnet"],
-                jax.ShapeDtypeStruct(batch.shape, batch.dtype),
-            )[0].shape[:3]  # grid dims for flat-index decode
-            top_scores, top_idx, top_reg = (
-                np.asarray(a)
-                for a in self._pnet_topk(
-                    self.variables["pnet"], batch, k=self.pnet_topk
-                )
+        if not scales:  # image smaller than the minimum face
+            return [np.zeros((0, 5)) for _ in range(T)]
+        batch = np.stack(frames)  # uint8, lossless transfer
+        tb = _bucket_frames(T)
+        if tb > T:  # quantize the frame axis so XLA programs repeat
+            batch = np.concatenate(
+                [batch, np.zeros((tb - T,) + batch.shape[1:], batch.dtype)]
             )
-            truncated = top_scores.shape[1] < gh * gw
-            if truncated and (top_scores[:, -1] >= self.thresholds[0]).any():
+        all_scores, all_idx, all_reg = (
+            np.asarray(a)[:T]
+            for a in self._pnet_pyramid(
+                self.variables["pnet"], batch, scales=tuple(scales),
+                k=self.pnet_topk,
+            )
+        )
+        off = 0
+        for s in scales:
+            gh, gw = _pnet_grid(int(np.ceil(H * s)), int(np.ceil(W * s)))
+            kk = min(self.pnet_topk, gh * gw)
+            top_scores = all_scores[:, off : off + kk]
+            top_idx = all_idx[:, off : off + kk]
+            top_reg = all_reg[:, off : off + kk]
+            off += kk
+            if kk < gh * gw and (top_scores[:, -1] >= self.thresholds[0]).any():
                 import warnings
 
                 warnings.warn(

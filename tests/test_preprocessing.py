@@ -46,6 +46,34 @@ class TestMTCNNStructure:
         boxes = det.detect(img)
         assert boxes.ndim == 2 and boxes.shape[1] in (0, 5)
 
+    def test_device_pyramid_matches_torch_area_resize(self):
+        """The on-device pyramid's separable area-resize matmuls reproduce
+        facenet-pytorch's ``imresample`` (torch interpolate mode='area') to
+        float rounding, and the grid formula matches the real P-Net."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+        import torch.nn.functional as F
+
+        from mintime_tpu.preprocessing.mtcnn import PNet, _area_matrix, _pnet_grid
+
+        rng = np.random.default_rng(0)
+        for (sih, siw, soh, sow) in [(360, 640, 216, 384), (101, 55, 61, 33)]:
+            img = rng.random((sih, siw)).astype(np.float32)
+            want = F.interpolate(
+                torch.from_numpy(img)[None, None], size=(soh, sow), mode="area"
+            )[0, 0].numpy()
+            got = _area_matrix(sih, soh) @ img @ _area_matrix(siw, sow).T
+            np.testing.assert_allclose(got, want, atol=1e-5)
+
+        v = PNet().init(jax.random.key(0), jnp.zeros((1, 12, 12, 3)))
+        for sh, sw in [(12, 12), (13, 17), (216, 384), (31, 30)]:
+            shape = jax.eval_shape(
+                lambda v, x: PNet().apply(v, x),
+                v, jax.ShapeDtypeStruct((1, sh, sw, 3), jnp.float32),
+            )[0].shape[1:3]
+            assert tuple(shape) == _pnet_grid(sh, sw)
+
     def test_detect_batch_matches_per_frame(self):
         """The batched cascade (one P-Net call per pyramid level over all
         frames, one bucketed R/O-Net call) is bit-identical to running the
