@@ -8,7 +8,13 @@ deployment-shaped hot path, previously mislabeled "end_to_end"). The
 
 * ``train_videos_per_sec_per_chip`` — full jitted train step (fwd + bwd +
   SGD update, fused Pallas attention) fed by the real multi-process host
-  loader from an on-disk synthetic dataset at flagship shapes.
+  loader from an on-disk synthetic dataset at flagship shapes, with the
+  per-step metric fetch the real train_loop does. On this bench rig the
+  number is host-bound: ONE host core builds batches and the remote-TPU
+  tunnel moves ~25-55 MB/s.
+* ``train_step_videos_per_sec_per_chip`` — the same compiled program on a
+  device-resident batch: the chip-side rate the pipeline sustains once the
+  host keeps up.
 * ``detect_frames_per_sec`` — batched MTCNN cascade (one P-Net dispatch per
   pyramid level) over a 300-frame 360x640 half-res clip, the preprocessing
   bottleneck stage.
@@ -127,15 +133,31 @@ def bench_train(jax, jnp, cfg):
             train_step, _ = jit_steps(model, mesh, pos_weight=0.8)
             state, m = train_step(state, example, rng)
             _sync(m)  # compile
+            # one loader-fed warmup step: the tunnel pays a large one-time
+            # cost on the first execute consuming freshly uploaded buffers
+            state, m = train_step(state, next(iter(loader)), rng)
+            _sync(m)
             steps = 0
             t0 = time.perf_counter()
             for epoch in range(4):
                 for batch in loader:
                     state, m = train_step(state, batch, rng)
+                    # per-step metric fetch, exactly like train_loop.fit's
+                    # console stats; on the axon tunnel this is also the
+                    # sync point that keeps the async queue from stalling
+                    _sync(m)
                     steps += 1
-            _sync(m)
             dt = time.perf_counter() - t0
-        return bs * steps / dt
+            pipeline_vps = bs * steps / dt
+            # chip-side step rate on a device-resident batch — what the same
+            # program sustains once the host pipeline keeps up (multi-core
+            # hosts; this 1-core bench host is loader/link-bound)
+            t0 = time.perf_counter()
+            for _ in range(20):
+                state, m = train_step(state, example, rng)
+            _sync(m)
+            step_vps = bs * 20 / (time.perf_counter() - t0)
+        return pipeline_vps, step_vps
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -149,7 +171,7 @@ def bench_detection(jax):
     frames = [
         (rng.random((360, 640, 3)) * 255).astype(np.uint8) for _ in range(300)
     ]
-    det.detect_batch(frames[:8])  # warmup / compile the pyramid levels
+    det.detect_batch(frames)  # warmup / compile the fused pyramid program
     t0 = time.perf_counter()
     det.detect_batch(frames)
     dt = time.perf_counter() - t0
@@ -172,7 +194,7 @@ def main():
     cfg = type(cfg)(**{**cfg.__dict__, "channels": 1280})  # EfficientNet features
 
     fwd_vps = bench_forward(jax, jnp, cfg)
-    train_vps = bench_train(jax, jnp, cfg)
+    train_vps, train_step_vps = bench_train(jax, jnp, cfg)
     det_fps = bench_detection(jax)
 
     print(
@@ -185,6 +207,7 @@ def main():
                 "baseline_is_proxy": True,
                 "extra": {
                     "train_videos_per_sec_per_chip": round(train_vps, 2),
+                    "train_step_videos_per_sec_per_chip": round(train_step_vps, 2),
                     "detect_frames_per_sec": round(det_fps, 2),
                 },
             }
