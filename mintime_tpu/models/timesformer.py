@@ -46,24 +46,53 @@ from mintime_tpu.ops.attention import build_frame_mask, grouped_attention_with_c
 _INIT = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
 
 
+class _Proj(nn.Module):
+    """Dense-shaped parameter holder (kernel + bias, nn.Dense naming) so the
+    fused FFN kernel can consume raw weights while the param tree stays
+    converter- and TP-rule-compatible (utils/torch_convert.py, parallel/mesh.py)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", _INIT, (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class GEGLU(nn.Module):
     """GEGLU feed-forward (reference :60-76): Dense -> x * gelu(gates) -> Dense.
 
-    Uses exact (erf) GELU to match torch's default.
+    Uses exact (erf) GELU to match torch's default. With ``use_pallas`` (and
+    dropout inactive — every reference config has ff-dropout 0) the whole FF
+    runs as one Pallas kernel per row tile so the (tokens, 2·hidden)
+    intermediate never touches HBM (ops/pallas_ffn.py), forward and backward.
     """
 
     dim: int
     mult: int = 4
     dropout: float = 0.0
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.Dense(self.dim * self.mult * 2, kernel_init=_INIT, dtype=self.dtype)(x)
+        hidden = self.dim * self.mult
+        w0, b0 = _Proj(self.dim, 2 * hidden, name="Dense_0")()
+        w1, b1 = _Proj(hidden, self.dim, name="Dense_1")()
+        x, w0, b0, w1, b1 = nn.dtypes.promote_dtype(
+            x, w0, b0, w1, b1, dtype=self.dtype
+        )
+        if self.use_pallas and (self.dropout == 0.0 or deterministic):
+            from mintime_tpu.ops.pallas_ffn import geglu_ffn
+
+            return geglu_ffn(x, w0, b0, w1, b1)
+        h = x @ w0 + b0
         val, gates = jnp.split(h, 2, axis=-1)
         h = val * jax.nn.gelu(gates, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(self.dim, kernel_init=_INIT, dtype=self.dtype)(h)
+        return h @ w1 + b1
 
 
 class DividedAttention(nn.Module):
@@ -316,7 +345,7 @@ class SizeInvariantTimeSformer(nn.Module):
                     space_attn_out = attn
             ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{layer}")
             ff = GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype,
-                       name=f"ff_{layer}")
+                       use_pallas=self.use_pallas, name=f"ff_{layer}")
             x_tok = x_tok + ff(ln(x_tok), deterministic=deterministic)
             x_cls = x_cls + ff(ln(x_cls), deterministic=deterministic)
 

@@ -81,6 +81,10 @@ def op_stats(trace_dir: str, top: int = 20) -> list[dict]:
     files = glob.glob(f"{trace_dir}/plugins/profile/*/*.xplane.pb")
     if not files:
         raise FileNotFoundError(f"no .xplane.pb under {trace_dir}")
+    # a reused trace_dir accumulates one subdir per capture; mixing runs
+    # makes the converter bail — keep only the newest capture
+    newest = max(f.rsplit("/", 2)[1] for f in files)
+    files = [f for f in files if f.rsplit("/", 2)[1] == newest]
     data, _ = r2t.xspace_to_tool_data(files, "framework_op_stats", {})
     d = json.loads(data.decode() if isinstance(data, bytes) else data)
     table = d[0] if isinstance(d, list) else d
