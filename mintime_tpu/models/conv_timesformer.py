@@ -41,6 +41,7 @@ class ConvolutionalTimeSformer(nn.Module):
     config: ModelConfig
     dtype: Any = None
     head: str = "conv_timesformer"
+    use_pallas: bool = False  # fused attention + GEGLU-FFN kernels
 
     @nn.compact
     def __call__(self, frames, mask=None, size_embedding=None, train: bool = False):
@@ -91,7 +92,8 @@ class ConvolutionalTimeSformer(nn.Module):
                                   name=f"{kind}_norm_{layer}")
                 y_tok, y_cls, _ = DividedAttention(
                     cfg.dim, cfg.heads, cfg.dim_head, cfg.attn_dropout,
-                    dtype=self.dtype, name=f"{kind}_attn_{layer}",
+                    dtype=self.dtype, use_pallas=self.use_pallas,
+                    name=f"{kind}_attn_{layer}",
                 )(ln(x_tok), ln(x_cls), axis=ax, deterministic=not train,
                   need_attn=False)
                 x_tok = x_tok + y_tok
@@ -99,7 +101,7 @@ class ConvolutionalTimeSformer(nn.Module):
             ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               name=f"ff_norm_{layer}")
             ff = GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype,
-                       name=f"ff_{layer}")
+                       use_pallas=self.use_pallas, name=f"ff_{layer}")
             x_tok = x_tok + ff(ln(x_tok), deterministic=not train)
             x_cls = x_cls + ff(ln(x_cls), deterministic=not train)
 

@@ -244,6 +244,9 @@ def main(argv=None):
     elif opt.model == 3:
         from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
 
+        # always the XLA attention/FF path: the conv variant's channel-token
+        # geometry (G≈1280 groups of L=8-token rows) hits a Mosaic relayout
+        # limitation in the fused kernels, and XLA handles it well anyway
         model = ConvolutionalTimeSformer(cfg.model, dtype=jnp.bfloat16)
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
