@@ -57,8 +57,14 @@ def _frame_of(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def read_dims_sidecar(video_dir: str) -> tuple[int, int] | None:
-    """Read the ``video_dims.json`` sidecar extract_crops writes (w, h)."""
+def _frame_face_of(name: str) -> tuple[int, int]:
+    """(frame_idx, face_idx) from a ``<frame>_<face>.png`` crop name."""
+    m = _FRAME_RE.match(os.path.basename(name))
+    return (int(m.group(1)), int(m.group(2))) if m else (0, 0)
+
+
+def read_sidecar_json(video_dir: str) -> dict | None:
+    """Raw ``video_dims.json`` sidecar dict extract_crops writes."""
     import json
 
     p = os.path.join(video_dir, DIMS_SIDECAR)
@@ -66,9 +72,19 @@ def read_dims_sidecar(video_dir: str) -> tuple[int, int] | None:
         return None
     try:
         with open(p) as f:
-            d = json.load(f)
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def read_dims_sidecar(video_dir: str) -> tuple[int, int] | None:
+    """Read the ``video_dims.json`` sidecar extract_crops writes (w, h)."""
+    d = read_sidecar_json(video_dir)
+    if not d:
+        return None
+    try:
         return int(d["width"]), int(d["height"])
-    except (OSError, KeyError, ValueError):
+    except (KeyError, ValueError, TypeError):
         return None
 
 
@@ -108,13 +124,31 @@ def probe_video_dims(video_file: str) -> tuple[int, int] | None:
 
 @dataclass
 class VideoFaces:
-    """All face crops of one video, grouped by identity."""
+    """All face crops of one video, grouped by identity.
+
+    A face *ref* is either a crop-image path (PNG layout) or an int entry
+    index into the video's :class:`~mintime_tpu.data.crop_store.CropPack`.
+    """
 
     video_dir: str
     identities: list[IdentityFaces]
-    #: face paths per identity, time-sorted to align with IdentityFaces.frames
-    faces: dict[str, list[str]]
-    discarded: list[str]
+    #: face refs per identity, time-sorted to align with IdentityFaces.frames
+    faces: dict[str, list]
+    #: (frame_idx, ref) of unclustered crops loose in the video folder
+    discarded: list
+
+
+def _image_width(path: str) -> int | None:
+    """Crop width from the file header (a few bytes — the TPU-native stand-in
+    for the reference's libmagic sniff, deepfakes_dataset.py:114); falls back
+    to a full decode only for unparsable headers."""
+    from mintime_tpu.data.crop_store import image_dims_header
+
+    dims = image_dims_header(path)
+    if dims is not None:
+        return dims[0]
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    return img.shape[1] if img is not None else None
 
 
 def scan_video_dir(video_dir: str) -> VideoFaces:
@@ -123,15 +157,18 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
     Mirrors deepfakes_dataset.get_sorted_identities' directory walk
     (:123-139) including the discarded-crop merge into the first identity
     (:227-235, applied later at plan time via :func:`merge_discarded`).
+    ``mean_side`` is the mean header width over ALL crops, exactly the
+    reference's ``magic.from_file`` loop (deepfakes_dataset.py:112-119) at
+    ~8 bytes read per file instead of a decode.
     """
     identities: list[IdentityFaces] = []
-    faces: dict[str, list[str]] = {}
-    discarded: list[str] = []
+    faces: dict[str, list] = {}
+    discarded: list = []
     for entry in sorted(os.listdir(video_dir)):
         p = os.path.join(video_dir, entry)
         if not os.path.isdir(p):
             if entry.lower().endswith(_CROP_EXTS):
-                discarded.append(p)
+                discarded.append((_frame_of(entry), p))
             continue
         crops = sorted(
             (os.path.join(p, f) for f in os.listdir(p)),
@@ -139,11 +176,7 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
         )
         if not crops:
             continue
-        sides = []
-        for c in crops[:8]:  # sample a few headers for the mean side
-            img = cv2.imread(c, cv2.IMREAD_UNCHANGED)
-            if img is not None:
-                sides.append(img.shape[1])
+        sides = [w for c in crops if (w := _image_width(c)) is not None]
         identities.append(
             IdentityFaces(
                 key=entry,
@@ -154,7 +187,7 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
         faces[entry] = crops
     if not identities and discarded:
         # no clustered identities: treat the loose crops as one identity
-        crops = sorted(discarded, key=_frame_of)
+        crops = sorted((p for _, p in discarded), key=_frame_of)
         identities.append(
             IdentityFaces(
                 key=os.path.basename(video_dir),
@@ -167,6 +200,42 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
     return VideoFaces(video_dir, identities, faces, discarded)
 
 
+def video_faces_from_pack(pack, video_dir: str) -> VideoFaces:
+    """Build the identity index straight from a ``crops.pack`` header —
+    no directory walk, no image header reads (widths are in the index)."""
+    groups: dict[str, list[tuple[int, int, int]]] = {}  # key → (frame, idx, w)
+    discarded: list = []
+    for i, (ident, frame, face, h, w, off) in enumerate(pack.entries):
+        if ident is None:
+            discarded.append((int(frame), i))
+        else:
+            groups.setdefault(ident, []).append((int(frame), i, int(w)))
+    identities: list[IdentityFaces] = []
+    faces: dict[str, list] = {}
+    for key in sorted(groups):
+        items = sorted(groups[key], key=lambda t: t[0])
+        identities.append(
+            IdentityFaces(
+                key=key,
+                frames=[t[0] for t in items],
+                mean_side=float(np.mean([t[2] for t in items])),
+            )
+        )
+        faces[key] = [t[1] for t in items]
+    if not identities and discarded:
+        items = sorted(discarded, key=lambda t: t[0])
+        identities.append(
+            IdentityFaces(
+                key=os.path.basename(video_dir),
+                frames=[t[0] for t in items],
+                mean_side=0.0,
+            )
+        )
+        faces[identities[0].key] = [t[1] for t in items]
+        discarded = []
+    return VideoFaces(video_dir, identities, faces, discarded)
+
+
 def merge_discarded(vf: VideoFaces) -> VideoFaces:
     """Merge discarded crops into identity 0 for frames it is missing
     (deepfakes_dataset.py:227-235)."""
@@ -174,19 +243,43 @@ def merge_discarded(vf: VideoFaces) -> VideoFaces:
         return vf
     first = vf.identities[0]
     have = set(first.frames)
-    extra = [p for p in vf.discarded if _frame_of(p) not in have]
+    extra = [(f, r) for f, r in vf.discarded if f not in have]
     if not extra:
         return vf
-    merged_paths = sorted(vf.faces[first.key] + extra, key=_frame_of)
+    pairs = sorted(
+        list(zip(first.frames, vf.faces[first.key])) + extra, key=lambda t: t[0]
+    )
     new_first = IdentityFaces(
         key=first.key,
-        frames=[_frame_of(p) for p in merged_paths],
+        frames=[f for f, _ in pairs],
         mean_side=first.mean_side,
     )
     identities = [new_first] + vf.identities[1:]
     faces = dict(vf.faces)
-    faces[first.key] = merged_paths
+    faces[first.key] = [r for _, r in pairs]
     return VideoFaces(vf.video_dir, identities, faces, vf.discarded)
+
+
+@dataclass
+class VideoIndex:
+    """Cached per-video state: the identity index (post discarded-merge),
+    the optional crop pack, and the resolved original-video dims. Built once
+    per video per dataset and reused across epochs — the reference re-walks
+    the directory and re-sniffs every crop header on every sample of every
+    epoch (deepfakes_dataset.py:123-139); nothing in that walk changes
+    between epochs (file moves only happen in offline preprocessing), so
+    caching is behavior-preserving.
+    """
+
+    vf: VideoFaces
+    pack: object | None
+    dims: tuple[int, int] | None
+
+    def read(self, identity_key: str, face_index: int) -> np.ndarray | None:
+        ref = self.vf.faces[identity_key][face_index]
+        if isinstance(ref, int):
+            return self.pack.read(ref)
+        return cv2.imread(ref)
 
 
 class DeepfakesDataset:
@@ -237,14 +330,29 @@ class DeepfakesDataset:
             self.transform: Compose = create_train_transforms(image_size, augmentation)
         else:
             self.transform = create_val_transform(image_size)
+        #: per-video index, built lazily (or via preload_index) and reused
+        #: across epochs; loader workers forked after preload inherit it.
+        self._index: dict[int, VideoIndex] = {}
 
     def __len__(self):
         return len(self.videos)
 
-    def _video_area(self, video_rel: str, video_dir: str) -> float:
-        """video_area = w*h/2 (deepfakes_dataset.py:253), from original video
-        dimensions — sourced, cached, and never silently defaulted."""
+    def _build_index(self, index: int) -> VideoIndex:
+        from mintime_tpu.data.crop_store import CropPack, find_pack
+
+        video_rel = self.videos[index]
+        video_dir = os.path.join(self.data_path, video_rel)
+        pack_path = find_pack(video_dir)
+        pack = CropPack(pack_path) if pack_path else None
+        if pack is not None:
+            vf = video_faces_from_pack(pack, video_dir)
+        else:
+            vf = scan_video_dir(video_dir)
+        # original-video dims for the size buckets, in priority order:
+        # explicit mapping → pack header → sidecar → probe the .mp4 → default
         dims = self.video_dims.get(video_rel)
+        if dims is None and pack is not None and pack.dims:
+            dims = (int(pack.dims["width"]), int(pack.dims["height"]))
         if dims is None:
             dims = read_dims_sidecar(video_dir)
         if dims is None and self.video_path:
@@ -253,7 +361,34 @@ class DeepfakesDataset:
                 dims = probe_video_dims(orig)
         if dims is None:
             dims = self.default_video_dims
-        if dims is None:
+        if dims is not None:
+            self.video_dims[video_rel] = dims  # probe/sidecar once, cached
+        return VideoIndex(vf=merge_discarded(vf), pack=pack, dims=dims)
+
+    def get_index(self, index: int) -> VideoIndex:
+        vi = self._index.get(index)
+        if vi is None:
+            vi = self._build_index(index)
+            self._index[index] = vi
+        return vi
+
+    def preload_index(self, workers: int = 8) -> None:
+        """Build the whole per-video index up front (thread pool — the work
+        is listdir/header IO). Called by the DataLoader before forking
+        workers so every epoch's forked children inherit it for free."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        missing = [i for i in range(len(self.videos)) if i not in self._index]
+        if not missing:
+            return
+        with ThreadPoolExecutor(max(1, workers)) as pool:
+            for i, vi in zip(missing, pool.map(self._build_index, missing)):
+                self._index[i] = vi
+
+    def _video_area(self, video_rel: str, vi: VideoIndex) -> float:
+        """video_area = w*h/2 (deepfakes_dataset.py:253), from original video
+        dimensions — sourced at index time and never silently defaulted."""
+        if vi.dims is None:
             raise ValueError(
                 f"unknown original video dimensions for {video_rel!r}: size "
                 "embeddings need the frame area (deepfakes_dataset.py:250-253)."
@@ -261,13 +396,12 @@ class DeepfakesDataset:
                 " extract_crops), --video_path to the original videos, or"
                 " default_video_dims to opt into a fixed assumption."
             )
-        self.video_dims[video_rel] = dims
-        return float(dims[0]) * float(dims[1]) / 2.0
+        return float(vi.dims[0]) * float(vi.dims[1]) / 2.0
 
     def __getitem__(self, index: int) -> dict:
         video_rel = self.videos[index]
-        video_dir = os.path.join(self.data_path, video_rel)
-        vf = merge_discarded(scan_video_dir(video_dir))
+        vi = self.get_index(index)
+        vf = vi.vf
         rng = np.random.default_rng((self.seed, index))
         import random as _random
 
@@ -293,12 +427,11 @@ class DeepfakesDataset:
                 )
                 continue
             ident_key = plan.identity_keys[plan.identity_index[slot]]
-            path = vf.faces[ident_key][fi]
-            img = cv2.imread(path)
+            img = vi.read(ident_key, fi)
             if img is None:
                 img = np.zeros((self.image_size, self.image_size, 3), np.uint8)
             if video_area is None:
-                video_area = self._video_area(video_rel, video_dir)
+                video_area = self._video_area(video_rel, vi)
             # size bucket from face/frame area ratio (deepfakes_dataset:250-263)
             face_area = img.shape[0] * img.shape[1] / 2.0
             ratio = int(face_area * 100.0 / video_area)

@@ -21,7 +21,11 @@ from mintime_tpu.train import bce_with_logits
 
 
 def filter_multi_identity(videos: Sequence[str], data_path: str) -> list[int]:
-    """Indices of videos with >1 clustered identity folder (test.py:169-184)."""
+    """Indices of videos with >1 clustered identity (test.py:169-184).
+    Counts identity folders, or pack-header identities when the video was
+    packed by ``pack_crops --remove_images`` (no folders left on disk)."""
+    from mintime_tpu.data.crop_store import CropPack, find_pack
+
     keep = []
     for i, video in enumerate(videos):
         vdir = os.path.join(data_path, video)
@@ -31,6 +35,12 @@ def filter_multi_identity(videos: Sequence[str], data_path: str) -> list[int]:
             )
         except OSError:
             continue
+        if n_ids == 0:
+            pack = find_pack(vdir)
+            if pack:
+                n_ids = len(
+                    {e[0] for e in CropPack(pack).entries if e[0] is not None}
+                )
         if n_ids > 1:
             keep.append(i)
     return keep
@@ -103,6 +113,7 @@ def _plot_batch_attention(batch, attns, heads, num_frames, num_patches):
 
 
 def main(argv=None):
+    import jax
     import jax.numpy as jnp
 
     p = argparse.ArgumentParser("mintime-tpu evaluate (test.py parity)")
@@ -126,9 +137,11 @@ def main(argv=None):
     p.add_argument("--deepfake_methods", type=int, nargs="*", default=None,
                    help="keep only these 8_cls method ids (test.py parity)")
     p.add_argument("--max_videos", type=int, default=-1)
-    p.add_argument("--fused_attention", action="store_true", default=False,
-                   help="Pallas fused attention (faster; bf16-kernel numerics"
-                        " differ ~1e-2 from the XLA path used at train time)")
+    p.add_argument("--fused_attention", type=int, choices=(0, 1), default=None,
+                   help="Pallas fused attention. Default mirrors train_loop: "
+                        "on for TPU, off elsewhere — so eval numerics match "
+                        "what training produced (bf16 kernel vs XLA differ "
+                        "~1e-2 in logits). Pass 0/1 to force.")
     opt = p.parse_args(argv)
 
     cfg = load_config(opt.config)
@@ -162,13 +175,16 @@ def main(argv=None):
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
         head = "baseline" if opt.model == 0 else "timesformer"
+        fused = opt.fused_attention
+        if fused is None:  # mirror train_loop's default: Pallas on TPU
+            fused = jax.default_backend() == "tpu"
         model = MintimeVideoClassifier(
             cfg.model,
             backbone=backbone,
             head=head,
             require_attention=opt.save_attentions,
             dtype=jnp.bfloat16,
-            use_pallas=opt.fused_attention,  # default: train-time XLA numerics
+            use_pallas=bool(fused) and head == "timesformer",
         )
     variables = load_model_variables(
         model, cfg, opt.model_weights, extractor_weights=opt.extractor_weights

@@ -208,18 +208,18 @@ def _geglu_core(x2, w0, b0, w1, b1):
 
 
 def _core_fwd(x2, w0, b0, w1, b1):
-    return _fwd_call(x2, w0, b0, w1, b1), (x2, w0, b0, w1)
+    return _fwd_call(x2, w0, b0, w1, b1), (x2, w0, b0, w1, b1)
 
 
 def _core_bwd(res, dout):
-    x2, w0, b0, w1 = res
+    x2, w0, b0, w1, b1 = res
     dx, dw0, db0, dw1, db1 = _bwd_call(x2, w0, b0, w1, dout.astype(x2.dtype))
     return (
         dx,
         dw0.astype(w0.dtype),
         db0.astype(b0.dtype),
         dw1.astype(w1.dtype),
-        db1.astype(b0.dtype),
+        db1.astype(b1.dtype),
     )
 
 

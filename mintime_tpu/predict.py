@@ -29,6 +29,23 @@ from mintime_tpu.preprocessing.extract_crops import pick_detection_frame, square
 from mintime_tpu.utils.attention_viz import aggregate_attentions, draw_border
 
 
+#: jitted forward per MODEL (flax modules hash by construction args), not per
+#: call — a 10-video predict loop reuses one compiled program instead of
+#: retracing every video (the reference builds its graph per call too, but
+#: torch eager pays no trace cost; under jit a per-call lambda would).
+_FWD_CACHE: dict = {}
+
+
+def _jitted_forward(model):
+    fwd = _FWD_CACHE.get(model)
+    if fwd is None:
+        import jax
+
+        fwd = jax.jit(model.apply)
+        _FWD_CACHE[model] = fwd
+    return fwd
+
+
 @dataclass
 class PredictionResult:
     probability: float  # sigmoid fake-probability
@@ -176,8 +193,6 @@ def predict_video(
     ``detect_video_faces`` JSON contract) — skips the detector. Used when
     detections already exist on disk or come from another detector.
     """
-    import jax
-
     if boxes is None:
         boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
     else:
@@ -191,7 +206,7 @@ def predict_video(
     identities, discarded = cluster_crops(crops, embedder, similarity_threshold)
     batch, plan, crop_store = assemble_inputs(identities, video_dims, cfg)
 
-    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    fwd = _jitted_forward(model)
     logits, attns = fwd(
         variables,
         batch["frames"],

@@ -67,8 +67,15 @@ def extract_video(
     boxes_path: str,
     output_dir: str,
     write: bool = True,
+    packed: bool = False,
 ) -> list[tuple[int, int, np.ndarray]]:
-    """Extract ~1 crop set per second. Returns [(frame_idx, face_idx, crop)]."""
+    """Extract ~1 crop set per second. Returns [(frame_idx, face_idx, crop)].
+
+    ``packed=True`` writes one ``crops.pack`` shard (crop_store format,
+    identity=None for every entry since clustering hasn't run yet) instead
+    of per-crop PNGs — the low-IO path for fresh datasets; ``pack_crops``
+    re-packs after clustering assigns identities.
+    """
     import cv2
 
     with open(boxes_path) as f:
@@ -105,8 +112,20 @@ def extract_video(
             if crop.size == 0:
                 continue
             out.append((i, j, crop))
-            if write:
+            if write and not packed:
                 cv2.imwrite(os.path.join(output_dir, f"{i}_{j}.png"), crop)
+    if write and packed and out:
+        from mintime_tpu.data.crop_store import PACK_NAME, write_pack
+
+        dims = None
+        if frames:
+            dims = {"width": frames[0].shape[1], "height": frames[0].shape[0],
+                    "fps": fps}
+        write_pack(
+            os.path.join(output_dir, PACK_NAME),
+            ((None, f, j, c) for f, j, c in out),
+            dims=dims,
+        )
     return out
 
 
@@ -119,6 +138,9 @@ def main(argv=None):
     p.add_argument("--boxes_path", required=True, help="root of per-video boxes json")
     p.add_argument("--output_path", required=True)
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--packed", action="store_true", default=False,
+                   help="write one crops.pack shard per video instead of "
+                        "PNGs (see mintime_tpu.data.crop_store)")
     opt = p.parse_args(argv)
 
     videos = sorted(glob.glob(os.path.join(opt.video_path, "**", "*.mp4"), recursive=True))
@@ -132,7 +154,7 @@ def main(argv=None):
         outdir = os.path.join(opt.output_path, stem)
         if os.path.isdir(outdir) and os.listdir(outdir):
             return 0  # idempotent skip
-        return len(extract_video(video, bpath, outdir))
+        return len(extract_video(video, bpath, outdir, packed=opt.packed))
 
     with ThreadPoolExecutor(opt.workers) as pool:
         total = sum(pool.map(job, videos))

@@ -98,7 +98,11 @@ class ONet(nn.Module):
         x = nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x)
         x = PReLU(64, name="prelu2")(x)
         x = _pool_ceil(x, 3, 2)
-        x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
+        # conv3 is 3x3 (NOT 2x2): 48→46→23→21→10→8→4→conv4(2)→3, flatten
+        # 3·3·128 = 1152 = facenet-pytorch's dense5 fan-in. The oracle test
+        # (tests/test_mtcnn_oracle.py) loads real-layout state dicts and
+        # would reject any deviation here.
+        x = nn.Conv(64, (3, 3), padding="VALID", name="conv3")(x)
         x = PReLU(64, name="prelu3")(x)
         x = _pool_ceil(x, 2, 2)
         x = nn.Conv(128, (2, 2), padding="VALID", name="conv4")(x)
@@ -114,8 +118,34 @@ class ONet(nn.Module):
 
 
 # --------------------------------------------------------------- host helpers
+def nms_tv(boxes: np.ndarray, scores: np.ndarray, threshold: float) -> np.ndarray:
+    """torchvision.ops.nms semantics — what facenet-pytorch's ``batched_nms``
+    uses for the stage-1 (0.5 per scale, 0.7 across scales) and stage-2
+    (0.7) passes: areas WITHOUT the MATLAB +1, suppress IoU > threshold,
+    stable descending-score order."""
+    if len(boxes) == 0:
+        return np.zeros(0, dtype=int)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = (x2 - x1) * (y2 - y1)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(i)
+        rest = order[1:]
+        w = np.maximum(0.0, np.minimum(x2[i], x2[rest]) - np.maximum(x1[i], x1[rest]))
+        h = np.maximum(0.0, np.minimum(y2[i], y2[rest]) - np.maximum(y1[i], y1[rest]))
+        inter = w * h
+        with np.errstate(invalid="ignore", divide="ignore"):
+            o = inter / (area[i] + area[rest] - inter)
+        o = np.where(np.isnan(o), np.inf, o)  # degenerate boxes: suppress
+        order = rest[o <= threshold]
+    return np.asarray(keep, dtype=int)
+
+
 def nms(boxes: np.ndarray, scores: np.ndarray, threshold: float, method: str = "union"):
-    """Greedy NMS; ``method='min'`` divides by min-area (O-Net stage)."""
+    """Greedy NMS with MATLAB +1 areas — facenet-pytorch's ``nms_numpy``,
+    used by its stage-3 pass with ``method='min'``."""
     if len(boxes) == 0:
         return np.zeros(0, dtype=int)
     x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
@@ -132,10 +162,16 @@ def nms(boxes: np.ndarray, scores: np.ndarray, threshold: float, method: str = "
         w = np.maximum(0.0, xx2 - xx1 + 1)
         h = np.maximum(0.0, yy2 - yy1 + 1)
         inter = w * h
-        if method == "min":
-            o = inter / np.minimum(area[i], area[order[1:]])
-        else:
-            o = inter / (area[i] + area[order[1:]] - inter)
+        # Degenerate boxes (inf/NaN coords from wild regression offsets on
+        # garbage inputs) make the division 0/0. facenet-pytorch silently
+        # keeps NaN comparisons False, which *drops* the box; make that
+        # explicit: NaN overlap → +inf → suppressed.
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if method == "min":
+                o = inter / np.minimum(area[i], area[order[1:]])
+            else:
+                o = inter / (area[i] + area[order[1:]] - inter)
+        o = np.where(np.isnan(o), np.inf, o)
         order = order[1:][o <= threshold]
     return np.asarray(keep, dtype=int)
 
@@ -154,6 +190,7 @@ def rerec(boxes: np.ndarray) -> np.ndarray:
 
 
 def apply_regression(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
+    """facenet-pytorch ``bbreg`` (stages 2-3): +1 width/height convention."""
     w = boxes[:, 2] - boxes[:, 0] + 1
     h = boxes[:, 3] - boxes[:, 1] + 1
     out = boxes.copy()
@@ -164,23 +201,48 @@ def apply_regression(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
     return out
 
 
-def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int) -> np.ndarray:
-    """Crop (clipped, zero-padded) boxes and resize to (size, size)."""
-    import cv2
-
-    H, W = img.shape[:2]
-    out = np.zeros((len(boxes), size, size, 3), np.float32)
-    for i, (x1, y1, x2, y2) in enumerate(boxes[:, :4].astype(int)):
-        x1c, y1c = max(x1, 0), max(y1, 0)
-        x2c, y2c = min(x2 + 1, W), min(y2 + 1, H)
-        if x2c <= x1c or y2c <= y1c:
-            continue
-        patch = np.zeros((y2 - y1 + 1, x2 - x1 + 1, 3), img.dtype)
-        patch[y1c - y1 : y2c - y1, x1c - x1 : x2c - x1] = img[y1c:y2c, x1c:x2c]
-        out[i] = cv2.resize(
-            patch.astype(np.float32), (size, size), interpolation=cv2.INTER_AREA
-        )
+def apply_regression_stage1(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
+    """Stage-1 regression after the cross-scale NMS: facenet-pytorch's
+    ``detect_face`` inlines it WITHOUT the +1 (``regw = x2 - x1``)."""
+    w = boxes[:, 2] - boxes[:, 0]
+    h = boxes[:, 3] - boxes[:, 1]
+    out = boxes.copy()
+    out[:, 0] += reg[:, 0] * w
+    out[:, 1] += reg[:, 1] * h
+    out[:, 2] += reg[:, 2] * w
+    out[:, 3] += reg[:, 3] * h
     return out
+
+
+def _area_resize_hw(img: np.ndarray, size: int) -> np.ndarray:
+    """(h, w, c) → (size, size, c) with torch ``interpolate(mode='area')``
+    semantics — facenet-pytorch's ``imresample`` for the R/O-Net crops."""
+    h, w = img.shape[:2]
+    out = np.einsum("ah,hwc->awc", _area_matrix(h, size), img, dtype=np.float32)
+    return np.einsum("bw,awc->abc", _area_matrix(w, size), out, dtype=np.float32)
+
+
+def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int) -> tuple:
+    """facenet-pytorch crop semantics (``pad`` + slice + ``imresample``):
+    boxes are truncated to int, clipped to the 1-based image extent, the
+    CLIPPED region (no zero padding) is area-resized to (size, size).
+    Returns (crops, valid) — a box whose clipped region is empty is marked
+    invalid and must be dropped by the caller (the reference upstream would
+    misalign its batch here, a known facenet-pytorch edge; dropping is the
+    sane equivalent since such a box detects nothing)."""
+    H, W = img.shape[:2]
+    n = len(boxes)
+    out = np.zeros((n, size, size, 3), np.float32)
+    valid = np.ones(n, dtype=bool)
+    ib = np.trunc(boxes[:, :4]).astype(int)
+    for i, (x, y, ex, ey) in enumerate(ib):
+        x, y = max(x, 1), max(y, 1)
+        ex, ey = min(ex, W), min(ey, H)
+        if not (ey > y - 1 and ex > x - 1):
+            valid[i] = False
+            continue
+        out[i] = _area_resize_hw(img[y - 1 : ey, x - 1 : ex].astype(np.float32), size)
+    return out, valid
 
 
 def _bucket(n: int, minimum: int = 8) -> int:
@@ -230,9 +292,19 @@ class MTCNNDetector:
     thresholds: tuple = (0.85, 0.95, 0.95)  # face_detector.py:42-46
     min_face_size: int = 20
     factor: float = 0.709
+    #: MTCNN(select_largest=True) default the reference inherits: final
+    #: boxes ordered by area descending (facenet_pytorch models/mtcnn.py)
+    select_largest: bool = True
     # device→host compaction cap: per frame and pyramid level, only the
     # top-K P-Net cells come back to the host (K ≥ the above-threshold
-    # count in practice; raise for pathological inputs / low thresholds)
+    # count in practice; raise for pathological inputs / low thresholds).
+    # Interplay with min_face_size: the coarsest pyramid scale is
+    # 12/min_face_size, so a SMALLER min_face_size means larger scaled
+    # images, hence more P-Net grid cells per level competing for the same
+    # K slots. At the defaults (min_face_size=20, threshold 0.85) a 512-cap
+    # never truncates on real footage; if you lower min_face_size or the
+    # stage-1 threshold, scale pnet_topk up proportionally — detect_batch
+    # warns when the cap clips an above-threshold cell.
     pnet_topk: int = 512
 
     def __post_init__(self):
@@ -255,7 +327,8 @@ class MTCNNDetector:
             h, w = x.shape[1:3]
             scores_all, idx_all, reg_all = [], [], []
             for s in scales:
-                sh, sw = int(np.ceil(h * s)), int(np.ceil(w * s))
+                # facenet-pytorch level size: int(dim * scale + 1)
+                sh, sw = int(h * s + 1), int(w * s + 1)
                 lvl = jnp.einsum(
                     "ah,thwc->tawc", jnp.asarray(_area_matrix(h, sh)), x,
                     preferred_element_type=jnp.float32,
@@ -311,11 +384,16 @@ class MTCNNDetector:
         if T == 0:
             return []
         H, W = frames[0].shape[:2]
-        scales = []
-        scale = 12.0 / self.min_face_size
-        while min(H, W) * scale >= 12:
-            scales.append(scale)
-            scale *= self.factor
+        # scale pyramid with facenet-pytorch's exact accumulation (detect_face:
+        # minl *= factor each level, checked before appending)
+        m = 12.0 / self.min_face_size
+        minl = min(H, W) * m
+        scales: list[float] = []
+        scale_i = m
+        while minl >= 12:
+            scales.append(scale_i)
+            scale_i *= self.factor
+            minl *= self.factor
 
         # stage 1: the whole proposal pyramid is ONE device dispatch; only
         # top-k-compacted cells come back (see pnet_pyramid above)
@@ -337,7 +415,7 @@ class MTCNNDetector:
         )
         off = 0
         for s in scales:
-            gh, gw = _pnet_grid(int(np.ceil(H * s)), int(np.ceil(W * s)))
+            gh, gw = _pnet_grid(int(H * s + 1), int(W * s + 1))
             kk = min(self.pnet_topk, gh * gw)
             top_scores = all_scores[:, off : off + kk]
             top_idx = all_idx[:, off : off + kk]
@@ -352,64 +430,97 @@ class MTCNNDetector:
                     stacklevel=2,
                 )
             for t in range(T):
+                # generateBoundingBox: mask = probs >= threshold; box corners
+                # q1 = floor((2·cell_xy + 1)/scale), q2 = floor((2·cell_xy +
+                # 12)/scale); per-scale NMS 0.5 runs on the UNregressed boxes
+                # (regression is applied once, after the 0.7 pass below)
                 keep_k = top_scores[t] >= self.thresholds[0]
                 if not keep_k.any():
                     continue
-                stride, cell = 2, 12
-                score = top_scores[t][keep_k]
+                # float32 THROUGHOUT, like the reference's torch tensors: the
+                # floor() result genuinely differs between f32 and f64 at
+                # some cells (e.g. 3/0.6 is 4.9999998f but 5.0000000000000009
+                # in f64), so dtype is part of the contract
+                stride, cell = np.float32(2), np.float32(12)
+                score = top_scores[t][keep_k].astype(np.float32)
                 ys, xs = np.divmod(top_idx[t][keep_k], gw)
-                q1 = np.stack([xs * stride, ys * stride], axis=1) / s
-                q2 = (np.stack([xs * stride, ys * stride], axis=1) + cell) / s
-                boxes = np.concatenate([q1, q2, score[:, None]], axis=1)
-                boxreg = top_reg[t][keep_k]
-                keep = nms(boxes[:, :4], boxes[:, 4], 0.5)
-                boxes, boxreg = boxes[keep], boxreg[keep]
-                boxes[:, :4] = apply_regression(boxes[:, :4], boxreg)[:, :4]
-                per_frame[t].append(boxes)
+                xy = np.stack([xs, ys], axis=1).astype(np.float32) * stride
+                s32 = np.float32(s)
+                q1 = np.floor((xy + np.float32(1)) / s32)
+                q2 = np.floor((xy + cell) / s32)
+                boxes = np.concatenate(
+                    [q1, q2, score[:, None], top_reg[t][keep_k]], axis=1
+                )
+                keep = nms_tv(boxes[:, :4], boxes[:, 4], 0.5)
+                per_frame[t].append(boxes[keep])
 
         cand: list[np.ndarray] = []
         for t in range(T):
             if per_frame[t]:
                 b = np.concatenate(per_frame[t])
-                keep = nms(b[:, :4], b[:, 4], 0.7)
+                keep = nms_tv(b[:, :4], b[:, 4], 0.7)
                 b = b[keep]
-                b[:, :4] = np.round(rerec(b[:, :4])[:, :4])
+                # regression (no +1) then square; boxes stay float — the
+                # reference never rounds, only pad() truncates for cropping
+                out5 = np.concatenate(
+                    [apply_regression_stage1(b[:, :4], b[:, 5:9]), b[:, 4:5]],
+                    axis=1,
+                )
+                b = rerec(out5)
             else:
                 b = np.zeros((0, 5))
             cand.append(b)
 
-        # stage 2: refine — one bucketed R-Net call over all frames
+        # stage 2: refine — one bucketed R-Net call over all frames;
+        # NMS 0.7 on the pre-regression boxes, then bbreg (+1), then rerec
         cand = self._run_stage_multi(frames, cand, 24, self._rnet, "rnet",
                                      self.thresholds[1])
         for t in range(T):
-            b = cand[t]
+            b, mv = cand[t]
             if len(b):
-                keep = nms(b[:, :4], b[:, 4], 0.7)
-                b = b[keep]
-                b[:, :4] = np.round(rerec(b[:, :4])[:, :4])
+                keep = nms_tv(b[:, :4], b[:, 4], 0.7)
+                b, mv = b[keep], mv[keep]
+                b[:, :4] = apply_regression(b[:, :4], mv)[:, :4]
+                b = rerec(b)
             cand[t] = b
 
-        # stage 3: output — one bucketed O-Net call over all frames
+        # stage 3: output — one bucketed O-Net call over all frames;
+        # bbreg FIRST, then the 'min' NMS with MATLAB +1 areas
         cand = self._run_stage_multi(frames, cand, 48, self._onet, "onet",
                                      self.thresholds[2])
         out = []
-        for b in cand:
+        for b, mv in cand:
             if len(b):
+                b[:, :4] = apply_regression(b[:, :4], mv)[:, :4]
                 b = b[nms(b[:, :4], b[:, 4], 0.7, method="min")]
+            if len(b) and self.select_largest:
+                # MTCNN.detect(select_largest=True) orders by box area desc
+                area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+                b = b[np.argsort(area)[::-1]]
             out.append(b)
         return out
 
     def _run_stage_multi(self, frames, cand, size, net, name, threshold):
+        """Run R/O-Net over all frames' candidates in one bucketed call.
+        Returns per frame ``(boxes5, reg4)`` with the refined score in
+        column 4 and the raw regression output for the caller to apply in
+        the stage's correct order."""
         counts = [len(b) for b in cand]
         n = sum(counts)
+        empty = (np.zeros((0, 5)), np.zeros((0, 4)))
         if n == 0:
-            return [np.zeros((0, 5)) for _ in cand]
+            return [empty for _ in cand]
         crops = np.zeros((n, size, size, 3), np.float32)
+        valids = []
         off = 0
         for t, b in enumerate(cand):
             if len(b):
-                crops[off : off + len(b)] = _crop_resize(frames[t], b, size)
+                c, v = _crop_resize(frames[t], b, size)
+                crops[off : off + len(b)] = c
+                valids.append(v)
                 off += len(b)
+            else:
+                valids.append(np.ones(0, dtype=bool))
         # pad candidate count to a bucket so the jit cache stays warm
         bkt = _bucket(n)
         if bkt > n:
@@ -423,16 +534,15 @@ class MTCNNDetector:
         off = 0
         for t, b in enumerate(cand):
             k = len(b)
-            p, r = prob[off : off + k], reg[off : off + k]
+            p, r, v = prob[off : off + k], reg[off : off + k], valids[t]
             off += k
-            keep = p >= threshold
+            keep = (p > threshold) & v  # fp: score > threshold (strict)
             if not keep.any():
-                results.append(np.zeros((0, 5)))
+                results.append(empty)
                 continue
             new = b[keep].copy()
             new[:, 4] = p[keep]
-            new[:, :4] = apply_regression(new[:, :4], r[keep])[:, :4]
-            results.append(new)
+            results.append((new, r[keep]))
         return results
 
 

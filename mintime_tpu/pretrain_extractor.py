@@ -298,10 +298,23 @@ def main(argv=None):
             val_loss = vtot / max(len(val_loader), 1)
             vids, vcorrect = 0, 0
             by_video: dict = {}
-            for path, prob in zip(va_p[: len(all_probs)], all_probs):
-                key = path[len(opt.data_path):].lstrip(os.sep).split(os.sep)[0]
-                by_video.setdefault(key, []).append(prob)
             vlabels = dict(zip(val_man.videos, val_man.labels))
+            # Manifest video names may be nested ('method/video_id', common
+            # for DFDC/FF++ lists): match each frame path against the known
+            # names component-prefix-wise instead of assuming one component.
+            depths = sorted({len(v.split(os.sep)) for v in vlabels} or {1})
+            for path, prob in zip(va_p[: len(all_probs)], all_probs):
+                rel = os.path.relpath(path, opt.data_path)
+                parts = rel.split(os.sep)
+                key = next(
+                    (os.sep.join(parts[:d]) for d in depths
+                     if os.sep.join(parts[:d]) in vlabels),
+                    parts[0],
+                )
+                by_video.setdefault(key, []).append(prob)
+            if by_video and not (by_video.keys() & vlabels.keys()):
+                print("warning: no frame path maps to a manifest video name; "
+                      "video_round_acc will be 0 (check --data_path layout)")
             for key, probs in by_video.items():
                 if key not in vlabels:
                     continue

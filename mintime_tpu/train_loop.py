@@ -67,10 +67,22 @@ def fit(
     """Run the training loop; returns (final_state, FitResult)."""
     from mintime_tpu.train import make_schedule
 
+    from mintime_tpu.train import _donation_safe
+
     train_step, eval_step = jit_steps(model, mesh, pos_weight)
     logger = ScalarLogger(log_dir)
     rng = rng if rng is not None else jax.random.key(0)
     schedule = make_schedule(cfg, max(len(train_loader), 1), num_epochs)
+
+    # Metric fetch cadence: each float(metrics[...]) is a host sync that
+    # serializes dispatch on a directly-attached pod, so by default we hold
+    # the per-step metric arrays and drain them once per log window (one
+    # sync per log_every steps, numerics identical — the python float64
+    # accumulation is unchanged, values are just fetched later). On the
+    # axon remote-TPU tunnel the opposite holds: per-step fetches are what
+    # keep the async queue from stalling (memory: 6s → 0.45s/step), so we
+    # keep the old behavior there — same backend switch as _donation_safe.
+    sync_every_step = not _donation_safe()
 
     not_improved = 0
     previous_loss = math.inf
@@ -82,13 +94,23 @@ def fit(
                 break
             t0 = time.time()
             tot_loss = tot_correct = tot_count = tot_pos = 0.0
+            pending: list[dict] = []
+
+            def _drain():
+                nonlocal tot_loss, tot_correct, tot_count, tot_pos
+                for m in pending:
+                    tot_loss += float(m["loss"])
+                    tot_correct += int(m["correct"])
+                    tot_count += int(m["count"])
+                    tot_pos += int(m["positive"])
+                pending.clear()
+
             n_batches = len(train_loader)
             for index, batch in enumerate(train_loader):
                 state, metrics = train_step(state, batch, rng)
-                tot_loss += float(metrics["loss"])
-                tot_correct += int(metrics["correct"])
-                tot_count += int(metrics["count"])
-                tot_pos += int(metrics["positive"])
+                pending.append(metrics)
+                if sync_every_step or (index + 1) % log_every == 0:
+                    _drain()
                 if (index + 1) % log_every == 0:
                     done = index + 1
                     eta = (time.time() - t0) / done * (n_batches - done)
@@ -99,6 +121,7 @@ def fit(
                         f"pos {int(tot_pos)} neg {int(tot_count - tot_pos)} "
                         f"ETA {eta:.0f}s"
                     )
+            _drain()
             train_loss = tot_loss / max(n_batches, 1)
             train_acc = tot_correct / max(tot_count, 1)
 

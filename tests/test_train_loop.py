@@ -124,6 +124,55 @@ def test_fit_and_checkpoint_roundtrip(faces_dir, tmp_path):
     assert int(restored.step) == int(state.step)
 
 
+@pytest.mark.slow
+def test_fit_metric_cadence_and_packed_dataset(faces_dir, tmp_path):
+    """(a) Async metric draining (one host sync per log window, train_loop
+    fit) yields IDENTICAL epoch stats to per-step fetching; (b) training
+    runs off the packed crop store (crops.pack) end-to-end."""
+    import json as _json
+    import shutil
+
+    from mintime_tpu.data.crop_store import pack_video_dir
+
+    root, videos, labels = faces_dir
+    packed_root = str(tmp_path / "packed")
+    shutil.copytree(root, packed_root)
+    for v in videos:
+        pack_video_dir(os.path.join(packed_root, v), remove_images=True)
+    packed = (packed_root, videos, labels)
+
+    cfg = MintimeConfig(model=SMALL, training=TrainingConfig(bs=4, val_bs=4, lr=0.05))
+    mesh = make_mesh(jax.devices()[:4])
+    model = MintimeVideoClassifier(SMALL, backbone="efficientnet-b0",
+                                   head="timesformer")
+    example = next(iter(make_loader(packed, "val")))
+    pw = pos_weight_from_labels(labels)
+
+    def run(log_every, tag):
+        state = create_train_state(
+            jax.random.key(0), model, example, cfg, steps_per_epoch=2, num_epochs=1
+        )
+        fit(
+            model, state, make_loader(packed, "train", mesh=mesh),
+            make_loader(packed, "val", mesh=mesh), mesh, cfg,
+            num_epochs=0, patience=2, pos_weight=pw,
+            models_output_path=str(tmp_path / f"ckpt_{tag}"),
+            log_dir=str(tmp_path / f"logs_{tag}"), log_every=log_every,
+        )
+        with open(tmp_path / f"logs_{tag}" / "scalars.jsonl") as f:
+            return {
+                (d["tag"], d["step"]): d["value"]
+                for d in map(_json.loads, f) if d["tag"].startswith("Training")
+            }
+
+    per_step = run(1, "everystep")
+    windowed = run(1000, "windowed")
+    assert per_step.keys() == windowed.keys()
+    for k in per_step:
+        np.testing.assert_allclose(per_step[k], windowed[k], rtol=0, atol=0,
+                                   err_msg=str(k))
+
+
 def test_loader_process_mode(faces_dir):
     """Forked-worker loader returns identical, in-order batches."""
     root, videos, labels = faces_dir
