@@ -169,9 +169,12 @@ def main(argv=None):
     elif opt.model == 3:  # extension: the reference never wires this model
         from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
 
-        # XLA path only: the channel-token geometry (G≈1280, L=8) trips a
-        # Mosaic relayout limit in the fused kernels (see train_loop.py)
-        model = ConvolutionalTimeSformer(cfg.model, dtype=jnp.bfloat16)
+        fused = opt.fused_attention
+        if fused is None:  # mirror train_loop: fused kernels on TPU
+            fused = jax.default_backend() == "tpu"
+        model = ConvolutionalTimeSformer(
+            cfg.model, dtype=jnp.bfloat16, use_pallas=bool(fused)
+        )
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
         head = "baseline" if opt.model == 0 else "timesformer"

@@ -197,8 +197,12 @@ class SlowFastClassifier(nn.Module):
         # short-side scale + center crop on device (utils.py:144-186 applies
         # ShortSideScale(256) + CenterCrop(256) after normalize)
         if min(H, W) != self.side_size:
-            scale = self.side_size / min(H, W)
-            nh, nw = int(round(H * scale)), int(round(W * scale))
+            # pytorchvideo ShortSideScale: short side = size, long side
+            # floored (functional.py int(math.floor(...))), bilinear
+            if H < W:
+                nh, nw = self.side_size, int(np.floor(W * self.side_size / H))
+            else:
+                nh, nw = int(np.floor(H * self.side_size / W)), self.side_size
             x = jax.image.resize(x, (B, F, nh, nw, 3), method="bilinear")
             H, W = nh, nw
         if (H, W) != (self.crop_size, self.crop_size):
@@ -207,10 +211,13 @@ class SlowFastClassifier(nn.Module):
             x = x[:, :, y0 : y0 + self.crop_size, x0 : x0 + self.crop_size]
         if self.dtype is not None:
             x = x.astype(self.dtype)
-        idx = jnp.round(jnp.linspace(0, F - 1, self.num_frames)).astype(jnp.int32)
+        # pytorchvideo UniformTemporalSubsample / PackPathway index with
+        # .long() — TRUNCATION, not rounding (transforms/functional.py;
+        # utils.py:169,181)
+        idx = jnp.linspace(0, F - 1, self.num_frames).astype(jnp.int32)
         fast = jnp.take(x, idx, axis=1)
-        slow_idx = jnp.round(
-            jnp.linspace(0, self.num_frames - 1, self.num_frames // ALPHA)
+        slow_idx = jnp.linspace(
+            0, self.num_frames - 1, self.num_frames // ALPHA
         ).astype(jnp.int32)
         slow = jnp.take(fast, slow_idx, axis=1)
         return SlowFastR50(self.num_classes, dtype=self.dtype, name="slowfast")(
@@ -219,23 +226,28 @@ class SlowFastClassifier(nn.Module):
 
 
 def uniform_temporal_subsample(frames: np.ndarray, num: int) -> np.ndarray:
-    """torchvision UniformTemporalSubsample semantics (utils.py:169)."""
+    """pytorchvideo UniformTemporalSubsample semantics (utils.py:169):
+    ``linspace(0, t-1, num).long()`` — truncation, not rounding."""
     t = frames.shape[0]
-    idx = np.linspace(0, t - 1, num).round().astype(int)
+    idx = np.linspace(0, t - 1, num).astype(int)
     return frames[idx]
 
 
 def short_side_scale(frames: np.ndarray, size: int) -> np.ndarray:
+    """pytorchvideo ShortSideScale: the long side is FLOORed (functional.py
+    ``int(math.floor(...))``), bilinear."""
     import cv2
 
     t, h, w = frames.shape[:3]
     if min(h, w) == size:
         return frames
     if h < w:
-        nh, nw = size, int(round(w * size / h))
+        nh, nw = size, int(np.floor(w * size / h))
     else:
-        nh, nw = int(round(h * size / w)), size
-    return np.stack([cv2.resize(fr, (nw, nh)) for fr in frames])
+        nh, nw = int(np.floor(h * size / w)), size
+    return np.stack(
+        [cv2.resize(fr, (nw, nh), interpolation=cv2.INTER_LINEAR) for fr in frames]
+    )
 
 
 def center_crop(frames: np.ndarray, size: int) -> np.ndarray:

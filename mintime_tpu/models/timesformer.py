@@ -144,7 +144,13 @@ class DividedAttention(nn.Module):
         x_tok, x_cls = cast(x_tok), cast(x_cls)
         scale = dh ** -0.5
 
-        if self.use_pallas and not need_attn:
+        # Pallas handles short attended sequences (flagship: L=F=16 or
+        # L=n=49; conv time axis: L=F=8). A wide axis (conv SPACE axis,
+        # L=n≈1280) would need (L, 1+L) fp32 logits per group in VMEM —
+        # ~6.5 MB × unrolled heads — so that op stays on the XLA path,
+        # which fuses the plain unmasked attention well at that size.
+        L_axis = f if axis == "time" else n
+        if self.use_pallas and not need_attn and L_axis <= 256:
             from mintime_tpu.ops.pallas_attention import (
                 divided_attention,
                 mask_to_bias,

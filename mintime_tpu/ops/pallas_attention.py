@@ -414,6 +414,260 @@ def _core_bwd(heads, dim_head, res, cot):
 _divided_attention_core.defvjp(_core_fwd, _core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# v3: G-tiled token rows for large-G geometries (VERDICT r2 next#5).
+#
+# The conv-TimeSformer's time axis has G≈1280 channel groups of L=8 rows —
+# a whole-(b) block (G·L·3·inner ≈ 24 MB bf16) blows the VMEM budget and
+# trips Mosaic relayouts. Here the token rows tile over G with grid
+# (B, G/TG): each tile is independent (groups never interact in the token
+# rows), so only the CLS k/v gradient needs a cross-tile reduction, done by
+# revisiting one accumulator block (index map constant in g — the TPU grid
+# is sequential, so read-modify-write is well-defined). The single CLS row
+# itself (1 query over all G·L keys) is a cheap XLA reduction and stays
+# outside the kernel — autodiff composes its vjp with the token-row
+# custom_vjp automatically.
+# ---------------------------------------------------------------------------
+
+
+def _token_rows_kernel(qkv_ref, qkvc_ref, sbias_ref, otok_ref, *, heads: int,
+                       dim_head: int):
+    qkv = qkv_ref[0]  # (TG, L, 3*inner)
+    qkvc = qkvc_ref[0]  # (1, 3*inner)
+    sbias = sbias_ref[0]
+    scale = dim_head ** -0.5
+    for h in range(heads):
+        oq = h * 3 * dim_head
+        ok, ov = oq + dim_head, oq + 2 * dim_head
+        oo = h * dim_head
+        qg = qkv[:, :, oq:oq + dim_head] * scale
+        kg = qkv[:, :, ok:ok + dim_head]
+        vg = qkv[:, :, ov:ov + dim_head]
+        kc = qkvc[:, ok:ok + dim_head]
+        vc = qkvc[:, ov:ov + dim_head]
+        logits_tok = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        logits_cls = jnp.sum(
+            qg.astype(jnp.float32) * kc[0].astype(jnp.float32)[None, None, :],
+            axis=-1, keepdims=True,
+        )
+        logits = jnp.concatenate([logits_cls, logits_tok], axis=-1)
+        logits = logits + sbias[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vg.dtype)
+        og = jax.lax.dot_general(
+            attn[..., 1:], vg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+        og = og + attn[..., :1].astype(jnp.float32) * vc[0].astype(jnp.float32)[None, None]
+        otok_ref[0, :, :, oo:oo + dim_head] = og.astype(otok_ref.dtype)
+
+
+def _token_rows_bwd_kernel(qkv_ref, qkvc_ref, sbias_ref, dtok_ref, dqkv_ref,
+                           dqkvc_ref, *, heads: int, dim_head: int):
+    g = pl.program_id(1)
+
+    @pl.when(g == 0)
+    def _init():
+        dqkvc_ref[...] = jnp.zeros_like(dqkvc_ref)
+
+    qkv = qkv_ref[0]
+    qkvc = qkvc_ref[0]
+    sbias = sbias_ref[0]
+    dtok = dtok_ref[0]
+    scale = dim_head ** -0.5
+    f32 = jnp.float32
+    for h in range(heads):
+        oq = h * 3 * dim_head
+        ok, ov = oq + dim_head, oq + 2 * dim_head
+        oo = h * dim_head
+        qg = qkv[:, :, oq:oq + dim_head] * scale
+        kg = qkv[:, :, ok:ok + dim_head]
+        vg = qkv[:, :, ov:ov + dim_head]
+        kc = qkvc[:, ok:ok + dim_head]
+        vc = qkvc[:, ov:ov + dim_head]
+        do = dtok[:, :, oo:oo + dim_head].astype(f32)
+
+        logits_tok = jax.lax.dot_general(
+            qg, kg, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        logits_cls = jnp.sum(
+            qg.astype(f32) * kc[0].astype(f32)[None, None, :],
+            axis=-1, keepdims=True,
+        )
+        logits = jnp.concatenate([logits_cls, logits_tok], axis=-1) + sbias[None]
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        dattn_tok = jax.lax.dot_general(
+            do, vg, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+        )
+        dattn_cls = jnp.sum(
+            do * vc[0].astype(f32)[None, None, :], axis=-1, keepdims=True
+        )
+        dattn = jnp.concatenate([dattn_cls, dattn_tok], axis=-1)
+        dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+
+        dq = jax.lax.dot_general(
+            dlogits[..., 1:], kg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        ) + dlogits[..., :1] * kc[0].astype(f32)[None, None, :]
+        dk = jax.lax.dot_general(
+            dlogits[..., 1:], qg.astype(f32), (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dkc = jnp.sum(dlogits[..., :1] * qg.astype(f32), axis=(0, 1),
+                      keepdims=True)[0]
+        dv = jax.lax.dot_general(
+            attn[..., 1:], do, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=f32,
+        )
+        dvc = jnp.sum(attn[..., :1] * do, axis=(0, 1), keepdims=True)[0]
+
+        dqkv_ref[0, :, :, oq:oq + dim_head] = (scale * dq).astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, ok:ok + dim_head] = dk.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, ov:ov + dim_head] = dv.astype(dqkv_ref.dtype)
+        dqkvc_ref[0, :, ok:ok + dim_head] += dkc.astype(dqkvc_ref.dtype)
+        dqkvc_ref[0, :, ov:ov + dim_head] += dvc.astype(dqkvc_ref.dtype)
+
+
+def _pick_group_tile(G: int, L: int, c3: int, itemsize: int,
+                     budget: int = 2 * 1024 * 1024) -> int:
+    """Largest divisor of G whose (TG, L, 3*inner) block fits the budget
+    (divisor, not ceil-div: a padded tail block would feed garbage rows
+    into the cross-tile CLS-k/v gradient accumulation)."""
+    max_rows = max(1, budget // max(1, L * c3 * itemsize))
+    tg = 1
+    for d in range(1, G + 1):
+        if G % d == 0 and d <= max_rows:
+            tg = d
+    return tg
+
+
+def _token_rows_specs(B, G, L, c3, inner, seq_bias, itemsize):
+    tg = _pick_group_tile(G, L, c3, itemsize)
+    if seq_bias is None:
+        seq_bias = jnp.zeros((1, 1, 1), jnp.float32)
+        sb_block, sb_index = (1, 1, 1), (lambda b, g: (0, 0, 0))
+    else:
+        seq_bias = seq_bias.astype(jnp.float32)
+        sb_block, sb_index = (1, L, 1 + L), (lambda b, g: (b, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, tg, L, c3), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c3), lambda b, g: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(sb_block, sb_index, memory_space=pltpu.VMEM),
+    ]
+    return tg, seq_bias, in_specs
+
+
+def _token_rows_fwd_call(qkv_g, qkv_cls, seq_bias, heads, dim_head):
+    B, G, L, c3 = qkv_g.shape
+    inner = c3 // 3
+    tg, seq_bias, in_specs = _token_rows_specs(
+        B, G, L, c3, inner, seq_bias, qkv_g.dtype.itemsize
+    )
+    return pl.pallas_call(
+        functools.partial(_token_rows_kernel, heads=heads, dim_head=dim_head),
+        grid=(B, G // tg),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tg, L, inner), lambda b, g: (b, g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, L, inner), qkv_g.dtype),
+    )(qkv_g, qkv_cls, seq_bias)
+
+
+def _token_rows_bwd_call(qkv_g, qkv_cls, seq_bias, d_tok, heads, dim_head):
+    B, G, L, c3 = qkv_g.shape
+    inner = c3 // 3
+    tg, seq_bias, in_specs = _token_rows_specs(
+        B, G, L, c3, inner, seq_bias, qkv_g.dtype.itemsize
+    )
+    in_specs = in_specs + [
+        pl.BlockSpec((1, tg, L, inner), lambda b, g: (b, g, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        functools.partial(_token_rows_bwd_kernel, heads=heads,
+                          dim_head=dim_head),
+        grid=(B, G // tg),
+        interpret=jax.default_backend() == "cpu",
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, tg, L, c3), lambda b, g: (b, g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # CLS k/v grad: one block per b, revisited by every g step —
+            # the cross-tile accumulator
+            pl.BlockSpec((1, 1, c3), lambda b, g: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G, L, c3), qkv_g.dtype),
+            jax.ShapeDtypeStruct((B, 1, c3), jnp.float32),
+        ],
+    )(qkv_g, qkv_cls, seq_bias, d_tok)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _token_rows_core(qkv_g, qkv_cls, seq_bias, heads, dim_head):
+    return _token_rows_fwd_call(qkv_g, qkv_cls, seq_bias, heads, dim_head)
+
+
+def _tr_fwd(qkv_g, qkv_cls, seq_bias, heads, dim_head):
+    out = _token_rows_fwd_call(qkv_g, qkv_cls, seq_bias, heads, dim_head)
+    return out, (qkv_g, qkv_cls, seq_bias)
+
+
+def _tr_bwd(heads, dim_head, res, d_tok):
+    qkv_g, qkv_cls, seq_bias = res
+    d_qkv, d_qkvc = _token_rows_bwd_call(
+        qkv_g, qkv_cls, seq_bias, d_tok.astype(qkv_g.dtype), heads, dim_head
+    )
+    return (
+        d_qkv,
+        d_qkvc.astype(qkv_cls.dtype),
+        None if seq_bias is None else jnp.zeros_like(seq_bias),
+    )
+
+
+_token_rows_core.defvjp(_tr_fwd, _tr_bwd)
+
+
+def _cls_row_xla(qkv_g, qkv_cls, row_bias, heads, dim_head):
+    """The single CLS row over all G·L tokens in plain XLA (one matvec-like
+    reduction — no benefit from a kernel; differentiable by autodiff)."""
+    B, G, L, c3 = qkv_g.shape
+    f32 = jnp.float32
+    scale = dim_head ** -0.5
+    t = qkv_g.reshape(B, G, L, heads, 3, dim_head)
+    k_g, v_g = t[..., 1, :], t[..., 2, :]  # (B, G, L, H, dh)
+    tc = qkv_cls.reshape(B, heads, 3, dim_head)
+    qc, kc, vc = tc[:, :, 0] * scale, tc[:, :, 1], tc[:, :, 2]  # (B, H, dh)
+    lr = jnp.einsum("bhd,bglhd->bhgl", qc.astype(f32), k_g.astype(f32))
+    if row_bias is not None:
+        lr = lr + row_bias.astype(f32)[:, None]
+    ls = jnp.sum(qc.astype(f32) * kc.astype(f32), axis=-1)  # (B, H)
+    m = jnp.maximum(jnp.max(lr, axis=(2, 3)), ls)
+    pr = jnp.exp(lr - m[:, :, None, None])
+    ps = jnp.exp(ls - m)
+    z = jnp.sum(pr, axis=(2, 3)) + ps
+    out = (
+        jnp.einsum("bhgl,bglhd->bhd", (pr / z[:, :, None, None]).astype(v_g.dtype), v_g)
+        + (ps / z)[:, :, None].astype(vc.dtype) * vc
+    )
+    return out.reshape(B, 1, heads * dim_head)
+
+
+#: whole-(b)-slice kernel block budget; above it, tile over groups
+_WHOLE_SLICE_BYTES = 6 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("heads", "dim_head"))
 def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
                       dim_head: int):
@@ -423,6 +677,12 @@ def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
     (:func:`_divided_bwd_kernel`) is registered via ``jax.custom_vjp``, so
     the training step can route attention through Pallas too (the
     probability tensor never exists in HBM in either direction).
+
+    Two regimes, picked from the static shapes:
+    * small slices (flagship TimeSformer: G·L·3·inner ≲ 6 MB) — the whole
+      (b) slice in one grid cell, CLS row fused in (``_divided_kernel``);
+    * large G (conv-TimeSformer time axis, G≈1280 × L=8) — token rows tile
+      over G (``_token_rows_kernel``), the CLS row is an XLA reduction.
 
     Args:
       qkv_g: (B, G, L, 3*inner) head-major packed token projections —
@@ -437,5 +697,10 @@ def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
         (B, G, L) — e.g. (B, G, 1) or (B, 1, L) — or None.
     Returns (out (B, G, L, inner), out_cls (B, 1, inner)).
     """
-    return _divided_attention_core(qkv_g, qkv_cls, seq_bias, row_bias, heads,
-                                   dim_head)
+    B, G, L, c3 = qkv_g.shape
+    if G * L * c3 * qkv_g.dtype.itemsize <= _WHOLE_SLICE_BYTES:
+        return _divided_attention_core(qkv_g, qkv_cls, seq_bias, row_bias,
+                                       heads, dim_head)
+    out_tok = _token_rows_core(qkv_g, qkv_cls, seq_bias, heads, dim_head)
+    out_cls = _cls_row_xla(qkv_g, qkv_cls, row_bias, heads, dim_head)
+    return out_tok, out_cls

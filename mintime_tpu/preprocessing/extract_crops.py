@@ -50,12 +50,16 @@ def square_crop(frame: np.ndarray, bbox_half_res: Sequence[float]) -> np.ndarray
 def pick_detection_frame(
     boxes: Mapping[str, list | None], second_start: int, fps: int
 ) -> int | None:
-    """First frame in [start+1, start+fps-1) with detections
-    (extract_crops.py:60-71 index walk)."""
+    """First frame in (start, start+fps-1) — EXCLUSIVE of both ends — with
+    detections (extract_crops.py:60-71 index walk; a hit at exactly
+    ``limit = start+fps-1`` breaks the reference's loop with ``index ==
+    limit`` and is then discarded by the ``continue`` guard, so the last
+    index of the window never yields a crop; same quirk in
+    predict.py:95-100)."""
     limit = second_start + fps - 1
     index = second_start
     keys = {int(k) for k in boxes}
-    while index < limit:
+    while index + 1 < limit:
         index += 1
         if index in keys and boxes[str(index)] is not None:
             return index

@@ -267,10 +267,15 @@ def main(argv=None):
     elif opt.model == 3:
         from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
 
-        # always the XLA attention/FF path: the conv variant's channel-token
-        # geometry (G≈1280 groups of L=8-token rows) hits a Mosaic relayout
-        # limitation in the fused kernels, and XLA handles it well anyway
-        model = ConvolutionalTimeSformer(cfg.model, dtype=jnp.bfloat16)
+        # fused kernels on TPU: the channel-token time axis (G≈1280 groups
+        # of L=8 rows) runs the G-tiled token-row kernel; the wide space
+        # axis (L≈1280) stays on XLA via the module's L-guard
+        fused = opt.fused_attention
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        model = ConvolutionalTimeSformer(
+            cfg.model, dtype=jnp.bfloat16, use_pallas=bool(fused)
+        )
     else:
         backbone = "efficientnet-b0" if opt.extractor_model == 0 else "xception"
         head = "baseline" if opt.model == 0 else "timesformer"

@@ -35,14 +35,19 @@ REF = "/root/reference"
 SHIMS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_shims")
 EXAMPLES = os.path.join(REF, "examples")
 
-# BASELINE.json configs 1-3 and 5: single pristine, single fake,
-# two-identity fakes (attention + size-embedding paths)
+# ALL SIX reference example videos (BASELINE.json scenarios): single
+# pristine, single fake, two-identity fakes (attention + size-embedding
+# paths), the missed-detection video, and the N>2-identity video
 VIDEOS = [
     "pristine_1_face_0.mp4",
     "fake_1_face_0.mp4",
     "fake_2_faces_1.mp4",
     "fake_2_faces_2.mp4",
+    "fake_2_faces_0_miss.mp4",
+    "fake_N_faces_0.mp4",
 ]
+MISS_VIDEO = "fake_2_faces_0_miss.mp4"
+N_VIDEO = "fake_N_faces_0.mp4"
 
 pytestmark = [pytest.mark.parity, pytest.mark.slow]
 
@@ -60,20 +65,50 @@ def ref_predict():
     import predict as rp  # the REFERENCE's /root/reference/predict.py
 
     rp.device = torch.device("cpu")
+
+    class _ObjectArrayNumpy:
+        """numpy facade for the reference module only: its ragged
+        ``[frame, PIL.Image, bbox]`` rows (predict.py:280) relied on legacy
+        ``np.asarray`` building object arrays; numpy>=2 raises
+        'inhomogeneous shape' instead. Restore the old behavior as a 1-D
+        object array — row indexing/iteration semantics unchanged."""
+
+        def __getattr__(self, name):
+            return getattr(np, name)
+
+        def asarray(self, obj, *args, **kwargs):
+            try:
+                return np.asarray(obj, *args, **kwargs)
+            except ValueError:
+                arr = np.empty(len(obj), dtype=object)
+                for i, row in enumerate(obj):
+                    arr[i] = row
+                return arr
+
+    rp.np = _ObjectArrayNumpy()
     return rp
 
 
-def _shared_boxes(video_path):
+def _shared_boxes(video_path, name=None):
     """One shared deterministic detection pass, in the half-resolution
     coordinates the reference's detector emits (face_detector.py:78; boxes
     are scaled back by 2 at crop time, predict.py:103).
 
-    This cv2 build ships no face-detection models, so the boxes are two
+    This cv2 build ships no face-detection models, so the boxes are
     procedural tracks (slowly drifting windows of different sizes over the
     frame) rather than detector output. Parity downstream of detection —
     crop geometry, embedding, clustering, assembly, size buckets, model —
-    is exactly as exercised as with a real detector, and the two tracks of
-    different mean size drive the multi-identity + size-embedding paths.
+    is exactly as exercised as with a real detector. Per-video patterns:
+
+    * default: two tracks of different mean size (multi-identity +
+      size-embedding paths), the small one dropped every third second.
+    * ``fake_2_faces_0_miss.mp4``: every third second has NO detections at
+      all (``None`` boxes) — the missed-detection path: those seconds yield
+      no crops, leaving temporal holes in the chosen frame numbers.
+    * ``fake_N_faces_0.mp4``: FOUR tracks of distinct sizes/positions with
+      different dropout cadences, driving the 3-/4-identity quota rows,
+      the deficit flow (track 2's shortfall moves to track 3) and the
+      surplus backfill (track 0 has spare faces) of ``assign_slots``.
     """
     cap = cv2.VideoCapture(video_path)
     fps = int(cap.get(5)) or 30
@@ -82,20 +117,32 @@ def _shared_boxes(video_path):
     cap.release()
     w2, h2 = dims[0] / 2.0, dims[1] / 2.0
     boxes = {}
+    n_tracks = 4 if name == N_VIDEO else 2
+    # (relative side, relative center x/y, per-second dropout predicate)
+    tracks = [
+        (0.30, 0.32, 0.42, lambda s: False),
+        (0.20, 0.68, 0.45, lambda s: s % 3 == 2),
+        (0.15, 0.50, 0.72, lambda s: s % 2 == 1),  # short: feeds deficit flow
+        (0.11, 0.80, 0.25, lambda s: s % 4 == 3),
+    ][:n_tracks]
     for i in range(n):
+        second = i // max(fps, 1)
+        if name == MISS_VIDEO and second % 3 == 1:
+            boxes[i] = None  # a whole second with no detections
+            continue
         drift = 8.0 * np.sin(i / 17.0)
-        a_side = 0.30 * h2
-        ax, ay = 0.32 * w2 + drift, 0.42 * h2 - drift / 2
-        b_side = 0.20 * h2
-        bx, by = 0.68 * w2 - drift, 0.45 * h2 + drift / 3
-        frame_boxes = [
-            [ax - a_side / 2, ay - a_side / 2, ax + a_side / 2, ay + a_side / 2],
-            [bx - b_side / 2, by - b_side / 2, bx + b_side / 2, by + b_side / 2],
-        ]
-        # drop the small track every third second to exercise mask padding
-        if (i // max(fps, 1)) % 3 == 2:
-            frame_boxes = frame_boxes[:1]
-        boxes[i] = [[float(v) for v in b] for b in frame_boxes]
+        frame_boxes = []
+        for t, (side_r, cx_r, cy_r, dropped) in enumerate(tracks):
+            if dropped(second):
+                continue
+            side = side_r * h2
+            sign = 1.0 if t % 2 == 0 else -1.0
+            cx = cx_r * w2 + sign * drift
+            cy = cy_r * h2 - sign * drift / (t + 2)
+            frame_boxes.append(
+                [cx - side / 2, cy - side / 2, cx + side / 2, cy + side / 2]
+            )
+        boxes[i] = [[float(v) for v in b] for b in frame_boxes] or None
     return boxes, fps, dims
 
 
@@ -182,7 +229,7 @@ def pipelines(ref_predict, tmp_path_factory):
     cwd = os.getcwd()
     for name in VIDEOS:
         video = os.path.join(EXAMPLES, name)
-        boxes, fps, dims = _shared_boxes(video)
+        boxes, fps, dims = _shared_boxes(video, name)
         if not any(v for v in boxes.values()):
             results[name] = {"skip": "no frames decoded"}
             continue
@@ -222,6 +269,53 @@ def pipelines(ref_predict, tmp_path_factory):
             ref_out=(ref_prob, ref_id_attn, ref_agg, ref_fpi),
             our_out=our,
         )
+
+        if name == N_VIDEO:
+            # The reference's predict() hardcodes max_identities=2
+            # (predict.py:392 uses the get_sorted_identities default), so the
+            # 3-/4-identity quota rows can only be golden-compared at the
+            # assembly stage: run its get_sorted_identities/generate_masks
+            # with max_identities=4 against our assembler at the same cap.
+            # The random-weight embedder yields near-uniform similarities at
+            # the production threshold 0.45 (everything merges); pick a
+            # threshold that actually separates the 4 tracks and pass the
+            # SAME value to both pipelines — it is a plain parameter of
+            # cluster_faces (predict.py:144) and the comparison is about the
+            # assembly math, not the embedder's calibration.
+            from mintime_tpu.preprocessing.cluster_faces import (
+                connected_components,
+            )
+
+            emb = embedder([c[2] for c in our_crops])
+            sims = emb @ emb.T
+            offdiag = sims[np.triu_indices(len(sims), 1)]
+            thr_n = None
+            for q in np.linspace(0.5, 0.995, 40):
+                t = float(np.quantile(offdiag, q))
+                if len(connected_components(sims, t)) >= 3:
+                    thr_n = t
+                    break
+            if thr_n is not None:
+                ref_clusters4 = ref_predict.cluster_faces(
+                    ref_crops, similarity_threshold=thr_n
+                )
+                our_ids4, _ = cluster_crops(our_crops, embedder, thr_n)
+                ref_ids4, _ = ref_predict.get_sorted_identities(
+                    ref_clusters4, None, max_identities=4,
+                    num_frames=ref_cfg["model"]["num-frames"],
+                )
+                ref_batch4 = ref_predict.generate_masks(
+                    video, ref_ids4, [], ref_cfg["model"]["num-frames"],
+                    ref_cfg["model"]["image-size"],
+                    ref_cfg["model"]["num-patches"],
+                )
+                mcfg4 = type(mcfg)(**{**mcfg.__dict__, "max_identities": 4})
+                cfg4 = type(cfg)(model=mcfg4, training=cfg.training)
+                our_batch4, our_plan4, _ = assemble_inputs(our_ids4, dims, cfg4)
+                results[name]["ref_batch4"] = ref_batch4
+                results[name]["our_batch4"] = our_batch4
+                results[name]["our_plan4"] = our_plan4
+                results[name]["our_ids4"] = our_ids4
     return results
 
 
@@ -293,3 +387,49 @@ def test_probability_and_attention_match(pipelines, name):
     )
     for a, b in zip(ref_agg, ours.aggregated_attentions):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+def test_miss_video_has_temporal_holes(pipelines):
+    """The missed-detection video must actually exercise the miss path:
+    whole seconds without crops leave gaps in the chosen frame numbers."""
+    r = _unskipped(pipelines, MISS_VIDEO)
+    crop_frames = sorted({f for f, *_ in r["our_crops"]})
+    assert len(crop_frames) >= 3
+    gaps = np.diff(crop_frames)
+    assert (gaps > gaps.min()).any(), "expected missing seconds in the track"
+
+
+def test_n_identity_quota_parity(pipelines):
+    """3-/4-identity quota rows, deficit flow and surplus backfill of the
+    adaptive slot assignment, compared against the reference's own
+    get_sorted_identities + generate_masks at max_identities=4."""
+    r = _unskipped(pipelines, N_VIDEO)
+    assert "our_batch4" in r, "no separating similarity threshold was found"
+    assert len(r["our_ids4"]) >= 3, (
+        "the 4-track pattern must cluster into >=3 identities for the "
+        "quota rows to run"
+    )
+    ref_seq, ref_sizes, ref_mask, ref_idm, ref_pos, ref_tpi = r["ref_batch4"]
+    ours = r["our_batch4"]
+    np.testing.assert_array_equal(ref_mask.numpy()[0], ours["mask"][0])
+    np.testing.assert_array_equal(
+        ref_sizes.numpy()[0].astype(np.int32), ours["size_embedding"][0]
+    )
+    np.testing.assert_array_equal(ref_idm.numpy()[0], ours["identities_mask"][0])
+    np.testing.assert_array_equal(ref_pos.numpy()[0], ours["positions"][0])
+    np.testing.assert_allclose(ref_seq.numpy()[0], ours["frames"][0], atol=1e-4)
+    # tokens_per_identity: the reference's formula (predict.py:351) adds only
+    # the PREVIOUS identity's tokens — entry i = (f_i + f_{i-1})·P — which
+    # coincides with a cumulative sum at ≤2 identities (all its CLI can
+    # reach) but is wrong at ≥3, where aggregate_attentions' ranges would
+    # invert. We emit the intended cumulative sum (PARITY ledger); compare
+    # the recoverable per-identity face counts instead.
+    P = 49
+    ref_faces = []
+    for i, (_, t) in enumerate(ref_tpi):
+        ref_faces.append(int(t) // P - (ref_faces[i - 1] if i else 0))
+    our_cum = [int(t) for _, t in r["our_plan4"].tokens_per_identity]
+    our_faces = [
+        (t - (our_cum[i - 1] if i else 0)) // P for i, t in enumerate(our_cum)
+    ]
+    assert ref_faces == our_faces and len(ref_faces) >= 3

@@ -19,7 +19,8 @@ class TestSlowFastTransforms:
     def test_uniform_subsample(self):
         frames = np.arange(10)[:, None, None, None] * np.ones((1, 2, 2, 3))
         out = uniform_temporal_subsample(frames, 5)
-        np.testing.assert_array_equal(out[:, 0, 0, 0], [0, 2, 4, 7, 9])
+        # pytorchvideo .long() truncation: linspace(0,9,5)=[0,2.25,4.5,6.75,9]
+        np.testing.assert_array_equal(out[:, 0, 0, 0], [0, 2, 4, 6, 9])
 
     def test_short_side_scale(self):
         frames = np.zeros((2, 100, 200, 3), np.float32)

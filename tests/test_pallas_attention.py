@@ -218,3 +218,92 @@ def test_divided_attention_kernel(axis):
     np.testing.assert_allclose(
         np.asarray(out_cls)[:, 0], ref_cls.reshape(B, inner), atol=2e-2, rtol=2e-2
     )
+
+
+class TestTiledTokenRows:
+    """G-tiled token-row kernel + XLA CLS row (the large-G regime the
+    conv-TimeSformer's channel-token time axis needs) must match the
+    whole-slice kernel exactly, forward and backward."""
+
+    def _inputs(self, B=2, G=12, L=8, H=2, dh=16, seed=0):
+        rng = np.random.default_rng(seed)
+        c3 = 3 * H * dh
+        qkv_g = rng.standard_normal((B, G, L, c3)).astype(np.float32)
+        qkv_cls = rng.standard_normal((B, 1, c3)).astype(np.float32)
+        fm = rng.random((B, L, 1 + L)) > 0.2
+        fm[..., 0] = True
+        fm |= ~fm.any(-1, keepdims=True)
+        seq_bias = np.where(fm, 0.0, -1e9).astype(np.float32)
+        row_bias = np.where(rng.random((B, G, 1)) > 0.2, 0.0, -1e9).astype(
+            np.float32
+        )
+        return jnp.asarray(qkv_g), jnp.asarray(qkv_cls), jnp.asarray(
+            seq_bias
+        ), jnp.asarray(row_bias), H, dh
+
+    def test_forward_matches_whole_slice(self):
+        from mintime_tpu.ops.pallas_attention import (
+            _cls_row_xla,
+            _divided_attention_core,
+            _token_rows_core,
+        )
+
+        qkv_g, qkv_cls, seq_bias, row_bias, H, dh = self._inputs()
+        want_tok, want_cls = _divided_attention_core(
+            qkv_g, qkv_cls, seq_bias, row_bias, H, dh
+        )
+        got_tok = _token_rows_core(qkv_g, qkv_cls, seq_bias, H, dh)
+        got_cls = _cls_row_xla(qkv_g, qkv_cls, row_bias, H, dh)
+        np.testing.assert_allclose(np.asarray(got_tok), np.asarray(want_tok),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_cls), np.asarray(want_cls),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_grads_match_whole_slice(self):
+        from mintime_tpu.ops.pallas_attention import (
+            _cls_row_xla,
+            _divided_attention_core,
+            _token_rows_core,
+        )
+
+        qkv_g, qkv_cls, seq_bias, row_bias, H, dh = self._inputs(seed=3)
+
+        def loss_whole(qkv_g, qkv_cls):
+            t, c = _divided_attention_core(qkv_g, qkv_cls, seq_bias, row_bias,
+                                           H, dh)
+            return (jnp.sum(t * t) + jnp.sum(c * c)).astype(jnp.float32)
+
+        def loss_tiled(qkv_g, qkv_cls):
+            t = _token_rows_core(qkv_g, qkv_cls, seq_bias, H, dh)
+            c = _cls_row_xla(qkv_g, qkv_cls, row_bias, H, dh)
+            return (jnp.sum(t * t) + jnp.sum(c * c)).astype(jnp.float32)
+
+        gw = jax.grad(loss_whole, argnums=(0, 1))(qkv_g, qkv_cls)
+        gt = jax.grad(loss_tiled, argnums=(0, 1))(qkv_g, qkv_cls)
+        for a, b in zip(gt, gw):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-4)
+
+    def test_dispatch_picks_tiled_for_large_G(self):
+        """divided_attention routes big slices through the tiled path (the
+        whole-slice kernel would exceed its VMEM budget)."""
+        from mintime_tpu.ops import pallas_attention as pa
+
+        B, G, L, H, dh = 1, 1280, 8, 2, 64
+        c3 = 3 * H * dh
+        assert G * L * c3 * 2 > pa._WHOLE_SLICE_BYTES  # bf16 itemsize 2
+        rng = np.random.default_rng(1)
+        qkv_g = jnp.asarray(
+            rng.standard_normal((B, G, L, c3)), dtype=jnp.bfloat16
+        )
+        qkv_cls = jnp.asarray(
+            rng.standard_normal((B, 1, c3)), dtype=jnp.bfloat16
+        )
+        out_tok, out_cls = pa.divided_attention(
+            qkv_g, qkv_cls, None, None, heads=H, dim_head=dh
+        )
+        assert out_tok.shape == (B, G, L, H * dh)
+        assert out_cls.shape == (B, 1, H * dh)
+        assert np.isfinite(np.asarray(out_tok, np.float32)).all()
+        tg = pa._pick_group_tile(G, L, c3, 2)
+        assert G % tg == 0 and tg > 1
