@@ -243,7 +243,13 @@ def merge_discarded(vf: VideoFaces) -> VideoFaces:
         return vf
     first = vf.identities[0]
     have = set(first.frames)
-    extra = [(f, r) for f, r in vf.discarded if f not in have]
+    # ONE crop per missing frame — the reference indexes the discarded list
+    # by frame and takes the first hit (deepfakes_dataset.py:231-232)
+    extra = []
+    for f, r in vf.discarded:
+        if f not in have:
+            extra.append((f, r))
+            have.add(f)
     if not extra:
         return vf
     pairs = sorted(

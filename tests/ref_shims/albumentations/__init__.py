@@ -147,3 +147,90 @@ class Rotate(_Inert):
 
 class Normalize(_Inert):
     pass
+
+
+# names deepfakes_dataset.py additionally imports for its TRAIN transform
+# stacks — never constructed on the deterministic val path the golden
+# dataset test drives
+class Cutout(_Inert):
+    pass
+
+
+class CoarseDropout(_Inert):
+    pass
+
+
+class RandomGamma(_Inert):
+    pass
+
+
+class MedianBlur(_Inert):
+    pass
+
+
+class ToSepia(_Inert):
+    pass
+
+
+class RandomShadow(_Inert):
+    pass
+
+
+class MultiplicativeNoise(_Inert):
+    pass
+
+
+class RandomSunFlare(_Inert):
+    pass
+
+
+class GlassBlur(_Inert):
+    pass
+
+
+class RandomBrightness(_Inert):
+    pass
+
+
+class MotionBlur(_Inert):
+    pass
+
+
+class RandomRain(_Inert):
+    pass
+
+
+class RGBShift(_Inert):
+    pass
+
+
+class RandomFog(_Inert):
+    pass
+
+
+class RandomContrast(_Inert):
+    pass
+
+
+class Downscale(_Inert):
+    pass
+
+
+class InvertImg(_Inert):
+    pass
+
+
+class ColorJitter(_Inert):
+    pass
+
+
+class CLAHE(_Inert):
+    pass
+
+
+class ISONoise(_Inert):
+    pass
+
+
+class JpegCompression(_Inert):
+    pass
