@@ -297,6 +297,22 @@ def bench_slowfast(jax, jnp, cfg):
     return bs * iters / (time.perf_counter() - t0)
 
 
+def bench_link(jax):
+    """Host→device link bandwidth (MB/s). On the axon tunnel this is the
+    number that bounds the loader-fed train pipeline (a 19 MB uint8 batch
+    per step) and the detection clip upload — it varies run to run
+    (~15-55 MB/s observed), so record it next to the throughputs it
+    explains."""
+    buf = np.zeros((64, 1024, 1024), np.uint8)  # 64 MB
+    x = jax.device_put(buf)
+    _sync(x)  # warm the path
+    t0 = time.perf_counter()
+    x = jax.device_put(buf)
+    _sync(x + 0)  # force materialization device-side
+    dt = time.perf_counter() - t0
+    return buf.nbytes / dt / 1e6
+
+
 def bench_detection(jax):
     """Batched MTCNN over a 300-frame half-res clip (preprocessing stage)."""
     from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
@@ -333,8 +349,10 @@ def main():
     train_vps, train_step_vps, train_mfu = bench_train(jax, jnp, cfg)
     slowfast_vps = bench_slowfast(jax, jnp, cfg)
     det_fps = bench_detection(jax)
+    link_mbps = bench_link(jax)
 
     extra = {
+        "link_mbps": round(link_mbps, 1),
         "train_videos_per_sec_per_chip": round(train_vps, 2),
         "train_step_videos_per_sec_per_chip": round(train_step_vps, 2),
         "host_videos_per_sec": round(host_pack_vps, 2),

@@ -17,7 +17,6 @@ import numpy as np
 
 from mintime_tpu.config import load_config
 from mintime_tpu.utils.metrics import evaluation_report
-from mintime_tpu.train import bce_with_logits
 
 
 def filter_multi_identity(videos: Sequence[str], data_path: str) -> list[int]:
@@ -44,6 +43,17 @@ def filter_multi_identity(videos: Sequence[str], data_path: str) -> list[int]:
         if n_ids > 1:
             keep.append(i)
     return keep
+
+
+def _bce_np(logits, labels, pos_weight: float = 1.0) -> float:
+    """Host-side BCEWithLogitsLoss (same formula as train.bce_with_logits)
+    in numpy — the per-batch eval loss shouldn't dispatch a device program
+    just to average already-fetched logits."""
+    x = logits.astype(np.float32).reshape(-1)
+    y = labels.astype(np.float32).reshape(-1)
+    softplus = np.logaddexp(0.0, -x)
+    per = (1.0 - y) * x + (1.0 + (pos_weight - 1.0) * y) * softplus
+    return float(per.mean())
 
 
 def evaluate(
@@ -80,7 +90,7 @@ def evaluate(
             logits = out
         logits = np.asarray(logits).reshape(-1)
         labels = np.asarray(batch["labels"]).reshape(-1)
-        losses.append(float(bce_with_logits(logits, labels, pos_weight)))
+        losses.append(_bce_np(logits, labels, pos_weight))
         all_logits.append(logits)
         all_labels.append(labels)
         if "multiclass_label" in batch:
