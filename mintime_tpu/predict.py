@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Any
+from typing import Any, Sequence
 
 import numpy as np
 
@@ -176,6 +176,31 @@ def assemble_inputs(identities: dict, video_dims, cfg: MintimeConfig):
     }, plan, crop_store
 
 
+def _stage_video(
+    video_path: str,
+    detector,
+    embedder,
+    cfg: MintimeConfig,
+    similarity_threshold: float,
+    every_n: int,
+    boxes: dict | None,
+):
+    """All host stages for one video: detect → crop → cluster → assemble.
+    Shared by ``predict_video`` and ``predict_videos``."""
+    if boxes is None:
+        boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
+    else:
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        fps = int(cap.get(5)) or 30
+        video_dims = (cap.get(3), cap.get(4))
+        cap.release()
+    crops = extract_video_crops(video_path, boxes, fps)
+    identities, _ = cluster_crops(crops, embedder, similarity_threshold)
+    return assemble_inputs(identities, video_dims, cfg)
+
+
 def predict_video(
     video_path: str,
     model,
@@ -193,18 +218,9 @@ def predict_video(
     ``detect_video_faces`` JSON contract) — skips the detector. Used when
     detections already exist on disk or come from another detector.
     """
-    if boxes is None:
-        boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
-    else:
-        import cv2
-
-        cap = cv2.VideoCapture(video_path)
-        fps = int(cap.get(5)) or 30
-        video_dims = (cap.get(3), cap.get(4))
-        cap.release()
-    crops = extract_video_crops(video_path, boxes, fps)
-    identities, discarded = cluster_crops(crops, embedder, similarity_threshold)
-    batch, plan, crop_store = assemble_inputs(identities, video_dims, cfg)
+    batch, plan, crop_store = _stage_video(
+        video_path, detector, embedder, cfg, similarity_threshold, every_n, boxes
+    )
 
     fwd = _jitted_forward(model)
     logits, attns = fwd(
@@ -236,6 +252,84 @@ def predict_video(
         identities=ordered_identities,
         frames_per_identity=frames_per_identity,
     )
+
+
+def predict_videos(
+    video_paths: Sequence[str],
+    model,
+    variables,
+    cfg: MintimeConfig,
+    detector,
+    embedder,
+    similarity_threshold: float = 0.45,
+    every_n: int = 1,
+    batch_size: int = 8,
+    boxes_per_video: Sequence[dict | None] | None = None,
+) -> list[PredictionResult]:
+    """Batched serving path: N videos → one jitted forward per batch.
+
+    The reference has no batched inference (predict.py is single-video);
+    this is the deployment-shaped API: host stages (detect / crop /
+    cluster / assemble) run per video, the assembled fixed-shape inputs
+    stack into ``batch_size`` rows (last batch padded by repeating row 0 —
+    pad outputs are discarded), and the SAME cached jitted forward
+    ``predict_video`` uses serves every batch, so a service mixing single
+    and batched calls compiles each batch shape once. Attention maps are
+    sliced per video exactly like evaluate's batch plotting
+    (``aggregate_attentions`` consumes ``(heads, 1, 1+F·n)`` rows).
+    """
+    staged = []  # (path, batch_dict, plan, crop_store)
+    for i, path in enumerate(video_paths):
+        boxes = boxes_per_video[i] if boxes_per_video else None
+        batch, plan, crop_store = _stage_video(
+            path, detector, embedder, cfg, similarity_threshold, every_n, boxes
+        )
+        staged.append((path, batch, plan, crop_store))
+
+    fwd = _jitted_forward(model)
+    results: list[PredictionResult] = []
+    heads = cfg.model.heads
+    for start in range(0, len(staged), batch_size):
+        chunk = staged[start : start + batch_size]
+        n = len(chunk)
+        pad = batch_size - n if len(staged) > batch_size else 0
+        stacked = {
+            k: np.concatenate(
+                [c[1][k] for c in chunk] + [chunk[0][1][k]] * pad
+            )
+            for k in chunk[0][1]
+        }
+        logits, attns = fwd(
+            variables,
+            stacked["frames"],
+            stacked["mask"],
+            stacked["identities_mask"],
+            stacked["size_embedding"],
+            stacked["positions"],
+        )
+        logits = np.asarray(logits).reshape(-1)
+        attns = [np.asarray(a) for a in attns]
+        for b, (path, _, plan, crop_store) in enumerate(chunk):
+            prob = float(1.0 / (1.0 + np.exp(-logits[b])))
+            fpi = [
+                int(t / cfg.model.num_patches)
+                for _, t in plan.tokens_per_identity
+            ]
+            agg, id_attn = aggregate_attentions(
+                [a[b * heads : (b + 1) * heads] for a in attns],
+                heads, cfg.model.num_frames, fpi,
+            )
+            results.append(
+                PredictionResult(
+                    probability=prob,
+                    identity_attentions=id_attn,
+                    aggregated_attentions=agg,
+                    identities={k: crop_store[k] for k in plan.identity_keys},
+                    frames_per_identity=fpi,
+                    plan=plan,
+                )
+            )
+    return results
 
 
 def generate_output_video(

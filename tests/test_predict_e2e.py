@@ -93,3 +93,52 @@ def test_predict_end_to_end(synthetic_video, tmp_path):
 
     out = generate_output_video(synthetic_video, result, output_dir=str(tmp_path))
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_predict_videos_batched_matches_single(synthetic_video, tmp_path_factory):
+    """predict_videos (batched serving path) returns the same probabilities
+    and attentions as per-video predict_video, including the padded last
+    batch (3 videos, batch_size=2 → one full batch + one padded)."""
+    from mintime_tpu.predict import predict_videos
+
+    # second, differently-seeded video so batch rows are not identical
+    path2 = str(tmp_path_factory.mktemp("videos2") / "synthetic2.mp4")
+    writer = cv2.VideoWriter(path2, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        frame = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        cv2.circle(frame, (30, 22), 11, (180, 160, 130), -1)
+        writer.write(frame)
+    writer.release()
+
+    cfg = MintimeConfig(model=SMALL)
+    model = MintimeVideoClassifier(
+        SMALL, backbone="efficientnet-b0", head="timesformer", require_attention=True
+    )
+    frames = np.zeros((1, SMALL.num_frames, 32, 32, 3), np.float32)
+    mask = np.ones((1, SMALL.num_frames), bool)
+    id_mask = np.ones((1, SMALL.num_frames, SMALL.num_frames), bool)
+    size_emb = np.ones((1, SMALL.num_frames), np.int32)
+    positions = np.arange(1 + SMALL.num_frames)[None].astype(np.int32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), frames, mask, id_mask, size_emb, positions
+    )
+
+    paths = [synthetic_video, path2, synthetic_video]
+    batched = predict_videos(
+        paths, model, variables, cfg, FakeDetector(), FakeEmbedder(), batch_size=2
+    )
+    assert len(batched) == len(paths)
+    for path, res in zip(paths, batched):
+        single = predict_video(
+            path, model, variables, cfg, FakeDetector(), FakeEmbedder()
+        )
+        np.testing.assert_allclose(res.probability, single.probability, rtol=1e-5)
+        np.testing.assert_allclose(
+            res.identity_attentions, single.identity_attentions, rtol=1e-4
+        )
+        assert res.frames_per_identity == single.frames_per_identity
+    # identical inputs (rows 0 and 2) agree regardless of batch position
+    np.testing.assert_allclose(
+        batched[0].probability, batched[2].probability, rtol=1e-6
+    )
