@@ -20,7 +20,10 @@ companions (VERDICT r1 weak#1, r2 missing#1/#4/#5):
   pipeline is per-sample independent, so N cores ≈ N × (1000 /
   host_ms_per_video) videos/s.
 * ``detect_frames_per_sec`` — batched MTCNN cascade over a 300-frame
-  360x640 half-res clip, the preprocessing bottleneck stage.
+  360x640 half-res clip, the preprocessing bottleneck stage, INCLUDING the
+  ~200 MB frame upload (link-bound on this tunnel rig — see ``link_mbps``);
+  ``detect_compute_frames_per_sec`` is the same cascade with frames staged
+  on device, i.e. the attached-host rate.
 * ``slowfast_forward_videos_per_sec_per_chip`` — the --model 2 variant's
   jitted forward (device-resident input).
 * ``mfu_pct`` / ``train_mfu_pct`` — model FLOPs utilization of the forward
@@ -28,6 +31,12 @@ companions (VERDICT r1 weak#1, r2 missing#1/#4/#5):
   ``cost_analysis`` of the compiled executable (falls back to an analytic
   per-layer count if unavailable). Makes "fast" falsifiable round over
   round (VERDICT r2 missing#5).
+* ``p50_latency_ms`` / ``p90_latency_ms`` — single-video (batch=1)
+  model-forward latency percentiles with a per-call output fetch — the
+  BASELINE.json north-star's third metric (serving-shaped, what
+  ``predict_video`` pays per call once host stages are done). On this
+  remote-TPU rig each call includes the tunnel round-trip, so the numbers
+  are an upper bound on a directly-attached host.
 
 The reference publishes no throughput numbers (BASELINE.md §Throughput);
 ``vs_baseline`` is against a PROXY of 20 videos/sec documented for the
@@ -138,6 +147,39 @@ def bench_forward(jax, jnp, cfg):
         flops_src = "analytic"
     mfu = 100.0 * flops / batch_size * vps / _peak_flops(jax)
     return vps, mfu, flops_src
+
+
+def bench_latency(jax, jnp, cfg):
+    """Batch-1 forward latency percentiles (ms) with a per-call fetch.
+
+    Unlike ``bench_forward`` (pipelined launches, last-fetch sync), every
+    iteration here waits for its own output — the serving latency a single
+    ``predict_video`` call observes after host staging.
+    """
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+
+    from __graft_entry__ import _example_batch
+
+    model = MintimeVideoClassifier(
+        cfg, backbone="efficientnet-b0", head="timesformer",
+        dtype=jnp.bfloat16, use_pallas=True,
+    )
+    batch = _example_batch(1, cfg)
+    args = tuple(
+        jax.device_put(batch[k])
+        for k in ("frames", "mask", "identities_mask", "size_embedding", "positions")
+    )
+    variables = jax.device_put(jax.jit(model.init)(jax.random.key(0), *args))
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    for _ in range(3):  # warmup / compile
+        _sync(fwd(variables, *args))
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        _sync(fwd(variables, *args))
+        lat.append((time.perf_counter() - t0) * 1000.0)
+    lat.sort()
+    return lat[len(lat) // 2], lat[int(len(lat) * 0.9)]
 
 
 def _synthetic_faces_dir(root: str, num_videos: int = 48, packed: bool = True):
@@ -314,7 +356,14 @@ def bench_link(jax):
 
 
 def bench_detection(jax):
-    """Batched MTCNN over a 300-frame half-res clip (preprocessing stage)."""
+    """Batched MTCNN over a 300-frame half-res clip (preprocessing stage).
+
+    Returns (end_to_end_fps, compute_fps): end-to-end includes the ~200 MB
+    uint8 frame upload — on the remote-TPU tunnel (~25-55 MB/s, see
+    ``link_mbps``) that transfer IS the wall-clock; compute_fps stages the
+    frames on device once (``MTCNNDetector.stage_frames``) and times the
+    cascade + host NMS alone — the rate a PCIe-attached production host
+    sustains."""
     from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
 
     det = MTCNNDetector(MTCNNDetector.init_variables())
@@ -325,8 +374,13 @@ def bench_detection(jax):
     det.detect_batch(frames)  # warmup / compile the fused pyramid program
     t0 = time.perf_counter()
     det.detect_batch(frames)
-    dt = time.perf_counter() - t0
-    return len(frames) / dt
+    e2e_fps = len(frames) / (time.perf_counter() - t0)
+    staged = det.stage_frames(frames)
+    det.detect_batch(frames, staged=staged)  # warm the staged path
+    t0 = time.perf_counter()
+    det.detect_batch(frames, staged=staged)
+    compute_fps = len(frames) / (time.perf_counter() - t0)
+    return e2e_fps, compute_fps
 
 
 def main():
@@ -345,10 +399,11 @@ def main():
     cfg = type(cfg)(**{**cfg.__dict__, "channels": 1280})  # EfficientNet features
 
     fwd_vps, mfu, flops_src = bench_forward(jax, jnp, cfg)
+    p50_ms, p90_ms = bench_latency(jax, jnp, cfg)
     host_pack_vps, host_png_vps = bench_host_pipeline(cfg)
     train_vps, train_step_vps, train_mfu = bench_train(jax, jnp, cfg)
     slowfast_vps = bench_slowfast(jax, jnp, cfg)
-    det_fps = bench_detection(jax)
+    det_fps, det_compute_fps = bench_detection(jax)
     link_mbps = bench_link(jax)
 
     extra = {
@@ -361,8 +416,11 @@ def main():
         "host_cores": os.cpu_count(),
         "slowfast_forward_videos_per_sec_per_chip": round(slowfast_vps, 2),
         "detect_frames_per_sec": round(det_fps, 2),
+        "detect_compute_frames_per_sec": round(det_compute_fps, 2),
         "mfu_pct": round(mfu, 2),
         "mfu_flops_source": flops_src,
+        "p50_latency_ms": round(p50_ms, 2),
+        "p90_latency_ms": round(p90_ms, 2),
     }
     if train_mfu is not None:
         extra["train_mfu_pct"] = round(train_mfu, 2)

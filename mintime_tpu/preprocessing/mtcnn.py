@@ -368,7 +368,24 @@ class MTCNNDetector:
         """Detect faces in one RGB uint8 image → ``(N, 5)`` [x1,y1,x2,y2,score]."""
         return self.detect_batch([img])[0]
 
-    def detect_batch(self, frames: Sequence[np.ndarray]) -> list[np.ndarray]:
+    def stage_frames(self, frames: Sequence[np.ndarray]):
+        """Upload a video's frames to the device once (padded to the same
+        frame bucket ``detect_batch`` uses). Passing the result via
+        ``staged=`` skips the per-call host→device transfer — on a slow
+        link (the remote-TPU tunnel moves ~25-55 MB/s and a 300-frame
+        360p clip is ~200 MB) that transfer, not the cascade, dominates
+        ``detect_batch`` wall-clock."""
+        batch = np.stack([np.asarray(f) for f in frames])
+        tb = _bucket_frames(len(frames))
+        if tb > len(frames):
+            batch = np.concatenate(
+                [batch, np.zeros((tb - len(frames),) + batch.shape[1:], batch.dtype)]
+            )
+        return jax.device_put(batch)
+
+    def detect_batch(
+        self, frames: Sequence[np.ndarray], staged=None
+    ) -> list[np.ndarray]:
         """Batched detection over same-shape frames (a video).
 
         SURVEY §2.1's "batched MTCNN": ONE P-Net call per pyramid level over
@@ -400,12 +417,15 @@ class MTCNNDetector:
         per_frame: list[list] = [[] for _ in range(T)]
         if not scales:  # image smaller than the minimum face
             return [np.zeros((0, 5)) for _ in range(T)]
-        batch = np.stack(frames)  # uint8, lossless transfer
-        tb = _bucket_frames(T)
-        if tb > T:  # quantize the frame axis so XLA programs repeat
-            batch = np.concatenate(
-                [batch, np.zeros((tb - T,) + batch.shape[1:], batch.dtype)]
-            )
+        if staged is not None:
+            batch = staged  # pre-uploaded + bucket-padded (stage_frames)
+        else:
+            batch = np.stack(frames)  # uint8, lossless transfer
+            tb = _bucket_frames(T)
+            if tb > T:  # quantize the frame axis so XLA programs repeat
+                batch = np.concatenate(
+                    [batch, np.zeros((tb - T,) + batch.shape[1:], batch.dtype)]
+                )
         all_scores, all_idx, all_reg = (
             np.asarray(a)[:T]
             for a in self._pnet_pyramid(

@@ -94,6 +94,22 @@ class TestMTCNNStructure:
             found += len(b)
         assert found > 0, "lowered thresholds must yield candidates"
 
+    def test_detect_batch_staged_frames_identical(self):
+        """stage_frames + staged= (the upload-once serving/bench path)
+        returns exactly what the plain numpy path returns."""
+        det = MTCNNDetector(
+            MTCNNDetector.init_variables(), thresholds=(0.4, 0.4, 0.4)
+        )
+        rng = np.random.default_rng(4)
+        frames = [
+            (rng.random((60, 80, 3)) * 255).astype(np.uint8) for _ in range(5)
+        ]
+        plain = det.detect_batch(frames)
+        staged = det.detect_batch(frames, staged=det.stage_frames(frames))
+        assert sum(len(b) for b in plain) > 0
+        for p, s in zip(plain, staged):
+            np.testing.assert_array_equal(p, s)
+
 
 class TestCropGeometry:
     def test_square_output(self):
