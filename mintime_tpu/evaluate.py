@@ -65,17 +65,45 @@ def evaluate(
     heads: int = 8,
     num_frames: int = 16,
     num_patches: int = 49,
+    mesh=None,
 ) -> dict:
-    """Run the jitted forward over a loader, return the test.py report."""
+    """Run the jitted forward over a loader, return the test.py report.
+
+    With ``mesh`` (and a loader constructed with the same mesh), the batch
+    axis shards over the mesh's ``data`` axis and the forward runs
+    data-parallel across every chip — the CLI enables this automatically on
+    multi-chip hosts (the reference's test.py is single-GPU, test.py:198).
+    Metrics are computed on host from the gathered logits, so the report is
+    identical to the single-device run.
+    """
+    import contextlib
+
     import jax
 
-    from mintime_tpu.train import model_inputs
-
     need_attn = save_attention_plots and getattr(model, "require_attention", False)
+
+    if mesh is not None:
+        from mintime_tpu.parallel.mesh import replicated
+
+        variables = jax.device_put(variables, replicated(mesh))
 
     # one jitted forward for the whole run, whatever the head's arity —
     # constructing jax.jit per batch would discard the trace cache
     fwd = jax.jit(lambda variables, *inputs: model.apply(variables, *inputs))
+
+    ctx = jax.set_mesh(mesh) if mesh is not None else contextlib.nullcontext()
+    with ctx:
+        return _evaluate_loop(
+            fwd, model, variables, loader, pos_weight, need_attn,
+            heads, num_frames, num_patches,
+        )
+
+
+def _evaluate_loop(
+    fwd, model, variables, loader, pos_weight, need_attn,
+    heads, num_frames, num_patches,
+):
+    from mintime_tpu.train import model_inputs
 
     all_logits, all_labels, all_mc, losses = [], [], [], []
     for batch in loader:
@@ -90,11 +118,15 @@ def evaluate(
             logits = out
         logits = np.asarray(logits).reshape(-1)
         labels = np.asarray(batch["labels"]).reshape(-1)
+        if "valid" in batch:  # mesh loaders pad partial batches (loader._shard)
+            real = np.asarray(batch["valid"]).reshape(-1) > 0
+            logits, labels = logits[real], labels[real]
         losses.append(_bce_np(logits, labels, pos_weight))
         all_logits.append(logits)
         all_labels.append(labels)
         if "multiclass_label" in batch:
-            all_mc.append(np.asarray(batch["multiclass_label"]).reshape(-1))
+            mc_b = np.asarray(batch["multiclass_label"]).reshape(-1)
+            all_mc.append(mc_b[real] if "valid" in batch else mc_b)
 
     logits = np.concatenate(all_logits) if all_logits else np.zeros(0)
     labels = np.concatenate(all_labels) if all_labels else np.zeros(0)
@@ -216,11 +248,22 @@ def main(argv=None):
         multiclass_labels=mc,
         video_path=opt.video_path,
     )
+    # Data-parallel over every local chip when the batch divides the mesh
+    # (single-chip hosts and indivisible batches fall back to plain jit).
+    # The reference's test.py evaluates on one GPU; here a pod evaluates
+    # the split N× faster with the same report.
+    bs = opt.batch_size or cfg.test.bs
+    mesh = None
+    if len(jax.devices()) > 1 and bs % len(jax.devices()) == 0:
+        from mintime_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(jax.devices())
     loader = DataLoader(
         ds,
-        batch_size=opt.batch_size or cfg.test.bs,
+        batch_size=bs,
         shuffle=False,
         num_workers=opt.workers,
+        mesh=mesh,
     )
     report = evaluate(
         model,
@@ -230,6 +273,7 @@ def main(argv=None):
         heads=cfg.model.heads,
         num_frames=cfg.model.num_frames,
         num_patches=cfg.model.num_patches,
+        mesh=mesh,
     )
     print(json.dumps(report, indent=2))
     return report

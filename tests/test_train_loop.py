@@ -354,6 +354,46 @@ def test_collect_frames_rebalancing(faces_dir):
     assert len(vp) == 2
 
 
+def test_evaluate_mesh_matches_single(faces_dir):
+    """Data-parallel evaluate over the 8-device mesh reports exactly what
+    the single-device run reports — including a PARTIAL final batch (6
+    videos in a batch of 8), whose mesh-path pad rows (loader._shard
+    cyclic repeat + valid mask) must be filtered from logits, labels,
+    loss, and per-method counts."""
+    from mintime_tpu.evaluate import evaluate
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+    from mintime_tpu.train import model_inputs
+
+    root, videos, labels = faces_dir
+    videos, labels = videos[:6], labels[:6]
+
+    def mk(mesh):
+        ds = DeepfakesDataset(
+            videos, labels, data_path=root,
+            image_size=SMALL.image_size, num_frames=SMALL.num_frames,
+            num_patches=SMALL.num_patches, max_identities=SMALL.max_identities,
+            mode="test", multiclass_labels=[int(l) * 3 for l in labels],
+        )
+        return DataLoader(ds, batch_size=8, shuffle=False, num_workers=2,
+                          mesh=mesh)
+
+    model = MintimeVideoClassifier(
+        SMALL, backbone="efficientnet-b0", head="timesformer"
+    )
+    example = next(iter(mk(None)))
+    variables = jax.jit(model.init)(
+        jax.random.key(0), *model_inputs(example, "timesformer")
+    )
+    plain = evaluate(model, variables, mk(None))
+    mesh = make_mesh(jax.devices())
+    dp = evaluate(model, variables, mk(mesh), mesh=mesh)
+    assert plain["n_videos"] == dp["n_videos"] == 6
+    for key in ("accuracy", "f1", "positive", "negative"):
+        assert plain[key] == dp[key], key
+    np.testing.assert_allclose(dp["loss"], plain["loss"], rtol=1e-5)
+    assert dp.get("per_method_errors") == plain.get("per_method_errors")
+
+
 @pytest.mark.slow
 def test_conv_timesformer_train_and_eval(faces_dir, tmp_path):
     """--model 3 extension: the ConvolutionalTimeSformer trains a step and
