@@ -28,17 +28,37 @@ from mintime_tpu.utils.checkpoint import save_train_state
 
 @dataclass
 class ScalarLogger:
-    """JSONL scalar log, TensorBoard-tag-compatible."""
+    """Scalar log with the reference's TensorBoard tags (train.py:467-472).
+
+    Writes ``scalars.jsonl`` (one ``{tag, value, step}`` object per line —
+    greppable, no reader dependency) plus a real TensorBoard event file via
+    the self-contained writer in :mod:`mintime_tpu.utils.tb_events`, so
+    ``tensorboard --logdir`` works exactly as on the reference without
+    importing torch/TF on the training host. ``MINTIME_TB=0`` disables the
+    event file.
+    """
 
     log_dir: str
 
     def __post_init__(self):
         os.makedirs(self.log_dir, exist_ok=True)
         self._f = open(os.path.join(self.log_dir, "scalars.jsonl"), "a")
+        self._tb = None
+        if os.environ.get("MINTIME_TB", "1") != "0":
+            from mintime_tpu.utils.tb_events import EventFileWriter
+
+            self._tb = EventFileWriter(self.log_dir)
 
     def add_scalar(self, tag: str, value: float, step: int):
         self._f.write(json.dumps({"tag": tag, "value": float(value), "step": step}) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), step)
+
+    def close(self):
+        self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 @dataclass
@@ -164,6 +184,7 @@ def fit(
             previous_loss = val_loss
             result.epochs_run = epoch + 1
 
+    logger.close()
     return state, result
 
 

@@ -112,6 +112,10 @@ def test_fit_and_checkpoint_roundtrip(faces_dir, tmp_path):
     assert np.isfinite(result.best_val_loss)
     assert result.checkpoints, "best-val checkpoint must be saved"
     assert os.path.exists(tmp_path / "logs" / "scalars.jsonl")
+    # real TensorBoard event files next to the JSONL (reference train.py:467-472)
+    assert any(
+        f.startswith("events.out.tfevents") for f in os.listdir(tmp_path / "logs")
+    ), "ScalarLogger must write TB event files when a writer is importable"
 
     # round-trip: restore into a fresh state and compare a param leaf
     fresh = create_train_state(
