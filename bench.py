@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -398,13 +399,21 @@ def main():
     cfg = load_config("configs/size_invariant_timesformer.yaml").model
     cfg = type(cfg)(**{**cfg.__dict__, "channels": 1280})  # EfficientNet features
 
-    fwd_vps, mfu, flops_src = bench_forward(jax, jnp, cfg)
-    p50_ms, p90_ms = bench_latency(jax, jnp, cfg)
-    host_pack_vps, host_png_vps = bench_host_pipeline(cfg)
-    train_vps, train_step_vps, train_mfu = bench_train(jax, jnp, cfg)
-    slowfast_vps = bench_slowfast(jax, jnp, cfg)
-    det_fps, det_compute_fps = bench_detection(jax)
-    link_mbps = bench_link(jax)
+    def _stage(name, fn, *a):
+        """Run one bench stage, logging wall time to stderr (stdout carries
+        only the final JSON line)."""
+        t0 = time.perf_counter()
+        out = fn(*a)
+        print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        return out
+
+    fwd_vps, mfu, flops_src = _stage("forward", bench_forward, jax, jnp, cfg)
+    p50_ms, p90_ms = _stage("latency", bench_latency, jax, jnp, cfg)
+    host_pack_vps, host_png_vps = _stage("host_pipeline", bench_host_pipeline, cfg)
+    train_vps, train_step_vps, train_mfu = _stage("train", bench_train, jax, jnp, cfg)
+    slowfast_vps = _stage("slowfast", bench_slowfast, jax, jnp, cfg)
+    det_fps, det_compute_fps = _stage("detection", bench_detection, jax)
+    link_mbps = _stage("link", bench_link, jax)
 
     extra = {
         "link_mbps": round(link_mbps, 1),

@@ -170,9 +170,16 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
             if entry.lower().endswith(_CROP_EXTS):
                 discarded.append((_frame_of(entry), p))
             continue
+        # frame-number order, filename as a deterministic tiebreak (the
+        # reference keeps os.listdir order on ties, which is fs-dependent;
+        # the pack path sorts the same way — crop_store.pack_video_dir)
         crops = sorted(
-            (os.path.join(p, f) for f in os.listdir(p)),
-            key=_frame_of,
+            (
+                os.path.join(p, f)
+                for f in os.listdir(p)
+                if f.lower().endswith(_CROP_EXTS)
+            ),
+            key=lambda c: (_frame_of(c), os.path.basename(c)),
         )
         if not crops:
             continue
@@ -187,7 +194,10 @@ def scan_video_dir(video_dir: str) -> VideoFaces:
         faces[entry] = crops
     if not identities and discarded:
         # no clustered identities: treat the loose crops as one identity
-        crops = sorted((p for _, p in discarded), key=_frame_of)
+        crops = sorted(
+            (p for _, p in discarded),
+            key=lambda c: (_frame_of(c), os.path.basename(c)),
+        )
         identities.append(
             IdentityFaces(
                 key=os.path.basename(video_dir),
