@@ -33,7 +33,13 @@ def load_manifest(
     data_path: str | None = None,
     deepfake_methods: list[int] | None = None,
     max_videos: int = -1,
+    shuffle_seed: int | None = None,
 ) -> Manifest:
+    """``shuffle_seed`` permutes rows before the ``max_videos`` cut — the
+    reference shuffles its dataframe with ``random_state`` ahead of
+    truncation (test.py:156 + :159), so the kept subset is random, not the
+    file head. A numpy permutation, not pandas' sampler: metrics are
+    order-independent, only which rows survive the cut differs."""
     df = pd.read_csv(csv_path, sep=" ", names=COLUMNS)
     videos, labels, multiclass = [], [], []
     for _, row in df.iterrows():
@@ -51,6 +57,11 @@ def load_manifest(
         videos.append(video)
         labels.append(float(row["label"]))
         multiclass.append(float(cls8) if not pd.isna(cls8) else float("nan"))
+    if shuffle_seed is not None and max_videos > -1:
+        perm = np.random.RandomState(shuffle_seed).permutation(len(videos))
+        videos = [videos[i] for i in perm]
+        labels = [labels[i] for i in perm]
+        multiclass = [multiclass[i] for i in perm]
     if max_videos > -1:
         videos = videos[:max_videos]
         labels = labels[:max_videos]

@@ -179,6 +179,12 @@ def main(argv=None):
     p.add_argument("--deepfake_methods", type=int, nargs="*", default=None,
                    help="keep only these 8_cls method ids (test.py parity)")
     p.add_argument("--max_videos", type=int, default=-1)
+    p.add_argument("--random_state", type=int, default=42,
+                   help="seeds per-sample RNG (identities_ordering=2) and "
+                        "the shuffle-before-truncate that picks the "
+                        "--max_videos subset (test.py:53,156). The shuffle "
+                        "is a numpy permutation, not pandas' — metrics are "
+                        "order-independent, only the random subset differs.")
     p.add_argument("--fused_attention", type=int, choices=(0, 1), default=None,
                    help="Pallas fused attention. Default mirrors train_loop: "
                         "on for TPU, off elsewhere — so eval numerics match "
@@ -195,7 +201,8 @@ def main(argv=None):
 
     man = load_manifest(opt.test_list_file, data_path=opt.data_path,
                         deepfake_methods=opt.deepfake_methods,
-                        max_videos=opt.max_videos)
+                        max_videos=opt.max_videos,
+                        shuffle_seed=opt.random_state)
     videos, labels, mc = man.videos, man.labels, man.multiclass
     if opt.only_multiidentity:
         keep = filter_multi_identity(videos, opt.data_path)
@@ -247,6 +254,7 @@ def main(argv=None):
         identities_ordering=opt.identities_ordering,
         multiclass_labels=mc,
         video_path=opt.video_path,
+        seed=opt.random_state,
     )
     # Data-parallel over every local chip when the batch divides the mesh
     # (single-chip hosts and indivisible batches fall back to plain jit).
