@@ -18,7 +18,11 @@ companions (VERDICT r1 weak#1, r2 missing#1/#4/#5):
   throughput (no device), packed store vs PNG layout, with
   ``host_ms_per_video`` so multi-core projection is arithmetic: the
   pipeline is per-sample independent, so N cores ≈ N × (1000 /
-  host_ms_per_video) videos/s.
+  host_ms_per_video) videos/s. On the train pair the augmentation stack
+  dominates, so the two layouts land within rig noise;
+  ``host_io_videos_per_sec`` / ``host_io_png_videos_per_sec`` are the
+  augmentation-free (val-mode) pair where the packed store's decode-free
+  read path shows.
 * ``detect_frames_per_sec`` — batched MTCNN cascade over a 300-frame
   360x640 half-res clip, the preprocessing bottleneck stage, INCLUDING the
   ~200 MB frame upload (link-bound on this tunnel rig — see ``link_mbps``);
@@ -210,19 +214,26 @@ def _synthetic_faces_dir(root: str, num_videos: int = 48, packed: bool = True):
     return videos, labels
 
 
-def _make_dataset(cfg, root, videos, labels):
+def _make_dataset(cfg, root, videos, labels, mode="train"):
     from mintime_tpu.data.dataset import DeepfakesDataset
 
     return DeepfakesDataset(
         videos, labels, data_path=root,
         image_size=cfg.image_size, num_frames=cfg.num_frames,
         num_patches=cfg.num_patches, max_identities=cfg.max_identities,
-        mode="train", augmentation="min",
+        mode=mode, augmentation="min",
     )
 
 
 def bench_host_pipeline(cfg):
-    """Loader-only samples/s (no device): packed store vs PNG layout."""
+    """Loader-only samples/s (no device): packed store vs PNG layout.
+
+    The ``train``-mode pair measures the full per-sample cost; on it the
+    augmentation stack dominates (~95% single-threaded), so pack vs PNG
+    lands within rig noise. The ``io`` pair runs ``mode='val'`` (no
+    augmentation) — scan + read + resize only — where the store's
+    decode-free memmap path is actually visible.
+    """
     import shutil
     import tempfile
 
@@ -233,23 +244,29 @@ def bench_host_pipeline(cfg):
         root = tempfile.mkdtemp(prefix=f"mintime_host_{name}_")
         try:
             videos, labels = _synthetic_faces_dir(root, packed=packed)
-            ds = _make_dataset(cfg, root, videos, labels)
-            loader = DataLoader(
-                ds, 8, num_workers=max(2, (os.cpu_count() or 2) - 1),
-                drop_last=True,
-            )
-            n = 0
-            for batch in loader:  # epoch 0: index build + warm page cache
-                n += len(batch["labels"])
-            t0 = time.perf_counter()
-            n = 0
-            for _ in range(2):
-                for batch in loader:
+            for mode in ("train", "val"):
+                ds = _make_dataset(cfg, root, videos, labels, mode=mode)
+                loader = DataLoader(
+                    ds, 8, num_workers=max(2, (os.cpu_count() or 2) - 1),
+                    drop_last=True,
+                )
+                n = 0
+                for batch in loader:  # epoch 0: index build + warm page cache
                     n += len(batch["labels"])
-            out[name] = n / (time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                n = 0
+                for _ in range(2):
+                    for batch in loader:
+                        n += len(batch["labels"])
+                out[(name, mode)] = n / (time.perf_counter() - t0)
         finally:
             shutil.rmtree(root, ignore_errors=True)
-    return out["pack"], out["png"]
+    return (
+        out[("pack", "train")],
+        out[("png", "train")],
+        out[("pack", "val")],
+        out[("png", "val")],
+    )
 
 
 def bench_train(jax, jnp, cfg):
@@ -409,7 +426,9 @@ def main():
 
     fwd_vps, mfu, flops_src = _stage("forward", bench_forward, jax, jnp, cfg)
     p50_ms, p90_ms = _stage("latency", bench_latency, jax, jnp, cfg)
-    host_pack_vps, host_png_vps = _stage("host_pipeline", bench_host_pipeline, cfg)
+    host_pack_vps, host_png_vps, host_io_pack_vps, host_io_png_vps = _stage(
+        "host_pipeline", bench_host_pipeline, cfg
+    )
     train_vps, train_step_vps, train_mfu = _stage("train", bench_train, jax, jnp, cfg)
     slowfast_vps = _stage("slowfast", bench_slowfast, jax, jnp, cfg)
     det_fps, det_compute_fps = _stage("detection", bench_detection, jax)
@@ -421,6 +440,8 @@ def main():
         "train_step_videos_per_sec_per_chip": round(train_step_vps, 2),
         "host_videos_per_sec": round(host_pack_vps, 2),
         "host_png_videos_per_sec": round(host_png_vps, 2),
+        "host_io_videos_per_sec": round(host_io_pack_vps, 2),
+        "host_io_png_videos_per_sec": round(host_io_png_vps, 2),
         "host_ms_per_video": round(1000.0 / host_pack_vps, 2),
         "host_cores": os.cpu_count(),
         "slowfast_forward_videos_per_sec_per_chip": round(slowfast_vps, 2),

@@ -72,3 +72,22 @@ class TestManifestFilters:
         man = load_manifest(self._write(tmp_path), max_videos=2)
         assert man.videos == ["vid_a", "vid_b"]
         assert len(man.labels) == len(man.multiclass) == 2
+
+    def test_shuffle_seed_randomizes_max_videos_subset(self, tmp_path):
+        """test.py:156+159: the dataframe is shuffled with --random_state
+        BEFORE truncation, so --max_videos keeps a random subset, not the
+        file head. Label/8_cls rows must follow their video."""
+        from mintime_tpu.data.manifest import load_manifest
+
+        path = self._write(tmp_path)
+        full = load_manifest(path)
+        by_video = dict(zip(full.videos, zip(full.labels, full.multiclass)))
+        man = load_manifest(path, max_videos=3, shuffle_seed=7)
+        assert len(man.videos) == 3
+        assert len(set(man.videos)) == 3
+        for v, l, m in zip(man.videos, man.labels, man.multiclass):
+            assert by_video[v] == (l, m)
+        # deterministic for a given seed; no shuffle without max_videos cut
+        again = load_manifest(path, max_videos=3, shuffle_seed=7)
+        assert again.videos == man.videos
+        assert load_manifest(path, shuffle_seed=7).videos == full.videos
