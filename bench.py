@@ -32,9 +32,11 @@ companions (VERDICT r1 weak#1, r2 missing#1/#4/#5):
   jitted forward (device-resident input).
 * ``mfu_pct`` / ``train_mfu_pct`` — model FLOPs utilization of the forward
   / train programs against the chip's peak bf16 FLOP/s, from XLA's own
-  ``cost_analysis`` of the compiled executable (falls back to an analytic
-  per-layer count if unavailable). Makes "fast" falsifiable round over
-  round (VERDICT r2 missing#5).
+  ``cost_analysis`` of the compiled executable PLUS an analytic count of
+  the FLOPs inside the fused Pallas kernels (``pallas_call`` is opaque to
+  cost_analysis and reports 0 — r2's 13% was really ~27%); falls back to
+  a fully analytic per-layer count if cost_analysis is unavailable. Makes
+  "fast" falsifiable round over round (VERDICT r2 missing#5).
 * ``p50_latency_ms`` / ``p90_latency_ms`` — single-video (batch=1)
   model-forward latency percentiles with a per-call output fetch — the
   BASELINE.json north-star's third metric (serving-shaped, what
@@ -102,6 +104,22 @@ def _program_flops(jitted, *args) -> float | None:
         return None
 
 
+def _pallas_kernel_flops(cfg, batch_size: int) -> float:
+    """FLOPs executed INSIDE the fused Pallas kernels, which XLA's
+    ``cost_analysis`` reports as 0 (``pallas_call`` is opaque to it): the
+    GEGLU-FFN up/down matmuls and the divided-attention score/PV matmuls.
+    Without this, the reported MFU undercounts roughly half the model (the
+    r2 bench's 13% was really ~27%). qkv/out projections stay XLA matmuls
+    and are already counted."""
+    f, p, d = cfg.num_frames, cfg.num_patches, cfg.dim
+    s = 1 + f * p
+    h = 4 * d  # GEGLU mult=4 (models/timesformer.py:81)
+    ffn = 2 * s * d * 2 * h + 2 * s * h * d  # up (d->2h) + down (h->d)
+    time_attn = 2 * 2 * p * f * (f + 1) * d  # scores + PV over all heads
+    space_attn = 2 * 2 * f * p * (p + 1) * d
+    return batch_size * cfg.depth * (ffn + time_attn + space_attn)
+
+
 def _analytic_forward_flops(cfg, batch_size: int) -> float:
     """Fallback analytic FLOPs (2·MACs) for backbone+TimeSformer forward at
     flagship shapes: EfficientNet-B0 = 0.39 GMACs per 224² image (Tan & Le
@@ -146,10 +164,13 @@ def bench_forward(jax, jnp, cfg):
     dt = time.perf_counter() - t0
     vps = batch_size * iters / dt
     flops = _program_flops(fwd, variables, *args)
-    flops_src = "xla_cost_analysis"
+    flops_src = "xla_cost_analysis+pallas"
     if flops is None:
         flops = _analytic_forward_flops(cfg, batch_size)
         flops_src = "analytic"
+    else:
+        # cost_analysis sees pallas_call as 0 flops; add the fused kernels'
+        flops += _pallas_kernel_flops(cfg, batch_size)
     mfu = 100.0 * flops / batch_size * vps / _peak_flops(jax)
     return vps, mfu, flops_src
 
@@ -325,6 +346,11 @@ def bench_train(jax, jnp, cfg):
             _sync(m)
             step_vps = bs * 20 / (time.perf_counter() - t0)
             train_flops = _program_flops(train_step, state, example, rng)
+            if train_flops:
+                # the fused kernels' fwd (1x) + custom_vjp bwd (2x model
+                # flops — the flash-style recompute is NOT counted, per the
+                # usual MFU convention of useful flops only)
+                train_flops += 3 * _pallas_kernel_flops(cfg, bs)
             train_mfu = (
                 100.0 * train_flops / bs * step_vps / _peak_flops(jax)
                 if train_flops
