@@ -135,67 +135,103 @@ def mask_to_bias(mask) -> jnp.ndarray:
 
 def _divided_kernel(qkv_ref, qkvc_ref, sbias_ref, rbias_ref, otok_ref,
                     ocls_ref, *, heads: int, dim_head: int):
-    inner = heads * dim_head
-    scale = dim_head ** -0.5
+    """Whole-(b)-slice forward: heads×groups collapsed into ONE batched
+    matmul per stage.
+
+    The first version of this kernel looped over heads with per-head
+    (G, L, L) matmuls; profiling on v5e showed it MXU-issue-bound (392
+    tiny matmuls per cell), ~5× above the pure-streaming floor
+    (copy-through kernel: 0.10 ms for the flagship 103 MB). Stacking the
+    per-head slices (a VMEM copy measured at ~0.02 ms, near-free) and
+    batching the dot_generals over H·G cut device self-time 0.54→0.48 ms
+    (time axis) / 0.62→0.49 ms (space axis), with BITWISE-identical token
+    rows. The CLS row is all-matvec on the MXU: its probability·value sum
+    runs as a bf16 batched (1,L)@(L,dh) + a ones-matvec group reduction
+    (fp32 accumulate), which differs from the old fp32 multiply-reduce by
+    ≤3e-4 — inside the kernel-vs-XLA test tolerance.
+    """
+    f32 = jnp.float32
+    dh = dim_head
+    H = heads
+    scale = dh ** -0.5
     qkv = qkv_ref[0]  # (G, L, 3*inner)
     qkvc = qkvc_ref[0]  # (1, 3*inner)
     sbias = sbias_ref[0]  # (L, 1+L) fp32 shared over groups, or (1, 1) zeros
-    rbias = rbias_ref[0]  # CLS-row bias broadcastable to (G, L), or (1, 1)
+    rbias = rbias_ref[0]  # CLS-row bias: (1, L), (G, 1), or (1, 1) zeros
+    G, L, _ = qkv.shape
 
-    for h in range(heads):
-        # head-major packing (H, [q|k|v], dh): contiguous column shards of
-        # the qkv kernel are whole heads (Megatron TP-alignable)
-        oq = h * 3 * dim_head
-        ok, ov = oq + dim_head, oq + 2 * dim_head
-        oo = h * dim_head  # output column offset (width = inner)
-        qg = qkv[:, :, oq:oq + dim_head] * scale  # (G, L, dh)
-        kg = qkv[:, :, ok:ok + dim_head]
-        vg = qkv[:, :, ov:ov + dim_head]
-        qc = qkvc[:, oq:oq + dim_head] * scale  # (1, dh)
-        kc = qkvc[:, ok:ok + dim_head]
-        vc = qkvc[:, ov:ov + dim_head]
+    # head-major packing (H, [q|k|v], dh): contiguous column shards of the
+    # qkv kernel are whole heads (Megatron TP-alignable). The 64-wide lane
+    # slices + leading-dim stack are cheap VMEM copies.
+    qs = jnp.stack([qkv[:, :, h*3*dh:h*3*dh + dh] for h in range(H)]) * scale
+    ks = jnp.stack([qkv[:, :, h*3*dh + dh:h*3*dh + 2*dh] for h in range(H)])
+    vs = jnp.stack([qkv[:, :, h*3*dh + 2*dh:h*3*dh + 3*dh] for h in range(H)])
+    qcs = jnp.stack([qkvc[:, h*3*dh:h*3*dh + dh] for h in range(H)]) * scale
+    kcs = jnp.stack([qkvc[:, h*3*dh + dh:h*3*dh + 2*dh] for h in range(H)])
+    vcs = jnp.stack([qkvc[:, h*3*dh + 2*dh:h*3*dh + 3*dh] for h in range(H)])
+    qf = qs.reshape(H * G, L, dh)
+    kf = ks.reshape(H * G, L, dh)
+    vf = vs.reshape(H * G, L, dh)
+    kcf = jnp.broadcast_to(kcs[:, None], (H, G, 1, dh)).reshape(H * G, 1, dh)
+    vcf = jnp.broadcast_to(vcs[:, None], (H, G, 1, dh)).reshape(H * G, 1, dh)
 
-        # ---- token rows: grouped attention + CLS key column
-        logits_tok = jax.lax.dot_general(
-            qg, kg, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (G, L, L)
-        logits_cls = jnp.sum(
-            qg.astype(jnp.float32) * kc[0].astype(jnp.float32)[None, None, :],
-            axis=-1, keepdims=True,
-        )  # (G, L, 1)
-        logits = jnp.concatenate([logits_cls, logits_tok], axis=-1)
-        logits = logits + sbias[None]  # (L, 1+L) shared over groups
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vg.dtype)
-        og = jax.lax.dot_general(
-            attn[..., 1:], vg, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )
-        og = og + attn[..., :1].astype(jnp.float32) * vc[0].astype(jnp.float32)[None, None]
-        otok_ref[0, :, :, oo:oo + dim_head] = og.astype(otok_ref.dtype)
+    # ---- token rows: grouped attention + CLS key column, all heads/groups
+    # in one batched dot_general
+    logits_tok = jax.lax.dot_general(
+        qf, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, L, L)
+    logits_cls = jax.lax.dot_general(
+        qf, kcf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, L, 1) batched matvec
+    logits = jnp.concatenate([logits_cls, logits_tok], axis=-1)
+    logits = logits + sbias[None]  # (L, 1+L) shared over heads and groups
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vf.dtype)
+    og = jax.lax.dot_general(
+        attn[..., 1:], vf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    og = og + attn[..., :1].astype(f32) * vcf.astype(f32)
+    og = og.reshape(H, G, L, dh)
+    for h in range(H):
+        otok_ref[0, :, :, h*dh:(h+1)*dh] = og[h].astype(otok_ref.dtype)
 
-        # ---- CLS row: attends to every token (order-independent softmax)
-        lr = jnp.sum(
-            qc[0].astype(jnp.float32)[None, None, :] * kg.astype(jnp.float32),
-            axis=-1,
-        ) + rbias  # (G, L) + broadcastable token-validity bias
-        ls = jnp.sum(
-            qc.astype(jnp.float32) * kc.astype(jnp.float32), axis=-1,
-            keepdims=True,
-        )  # (1, 1) CLS self-logit (always valid)
-        m = jnp.maximum(jnp.max(lr, axis=(0, 1), keepdims=True), ls)
-        pr = jnp.exp(lr - m)
-        ps = jnp.exp(ls - m)
-        z = jnp.sum(pr, axis=(0, 1), keepdims=True) + ps
-        # Σ_{G,L} p·v as a broadcast multiply + reduce (Mosaic rejects a
-        # dot_general whose lhs has no non-contracting dims)
-        acc = jnp.sum(
-            pr[:, :, None] * vg.astype(jnp.float32), axis=(0, 1), keepdims=True
-        )[0]  # (1, dh)
-        co = (acc + ps * vc.astype(jnp.float32)) / z
-        ocls_ref[0, :, oo:oo + dim_head] = co.astype(ocls_ref.dtype)
+    # ---- CLS row: attends to every token (order-independent softmax).
+    # All matmuls: fp32 multiply-reduce materializations of (G, L, dh)
+    # dominated the loop variant.
+    qcf = jnp.broadcast_to(qcs[:, None], (H, G, 1, dh)).reshape(H * G, 1, dh)
+    lrf = jax.lax.dot_general(
+        qcf, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, 1, L)
+    if rbias.shape == (1, 1):
+        lrf = lrf + rbias.reshape(1, 1, 1)
+    elif rbias.shape[0] == 1:  # (1, L): frame validity, shared over groups
+        lrf = lrf + rbias.reshape(1, 1, L)
+    else:  # (G, 1): per-group bias (space axis)
+        lrf = lrf + jnp.broadcast_to(
+            rbias[None], (H, G, 1)
+        ).reshape(H * G, 1, 1)
+    ls = jnp.sum(qcs.astype(f32) * kcs.astype(f32), axis=-1, keepdims=True)
+    mg = jnp.max(lrf, axis=2, keepdims=True).reshape(H, G, 1)
+    m2 = jnp.maximum(jnp.max(mg, axis=1, keepdims=True), ls)  # (H, 1, 1)
+    m2b = jnp.broadcast_to(m2, (H, G, 1)).reshape(H * G, 1, 1)
+    pr = jnp.exp(lrf - m2b)
+    ps = jnp.exp(ls - m2)
+    zg = jnp.sum(pr, axis=2, keepdims=True).reshape(H, G, 1)
+    z = jnp.sum(zg, axis=1, keepdims=True) + ps  # (H, 1, 1)
+    accg = jax.lax.dot_general(
+        pr.astype(vf.dtype), vf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ).reshape(H, G, dh)
+    ones = jnp.ones((H, 1, G), f32)
+    acc = jax.lax.dot_general(  # Σ_G via matvec (multi-axis reduces with a
+        ones, accg, (((2,), (1,)), ((0,), (0,))),  # non-unit trailing dim
+        preferred_element_type=f32,  # are unsupported in Mosaic)
+    )
+    co = (acc + ps * vcs.astype(f32)) / z  # (H, 1, dh)
+    for h in range(H):
+        ocls_ref[0, :, h*dh:(h+1)*dh] = co[h].astype(ocls_ref.dtype)
 
 
 def _bias_specs(seq_bias, row_bias, L):
@@ -257,102 +293,159 @@ def _divided_bwd_kernel(qkv_ref, qkvc_ref, sbias_ref, rbias_ref, dtok_ref,
     their CLS key/value column, and the global CLS row — into the packed
     d_qkv layout the projection matmul's backward consumes directly.
     """
-    scale = dim_head ** -0.5
+    f32 = jnp.float32
+    dh = dim_head
+    H = heads
+    scale = dh ** -0.5
     qkv = qkv_ref[0]  # (G, L, 3*inner)
     qkvc = qkvc_ref[0]  # (1, 3*inner)
     sbias = sbias_ref[0]
     rbias = rbias_ref[0]
     dtok = dtok_ref[0]  # (G, L, inner) cotangent of token outputs
     dcls = dcls_ref[0]  # (1, inner) cotangent of the CLS output
+    G, L, _ = qkv.shape
 
-    f32 = jnp.float32
-    for h in range(heads):
-        oq = h * 3 * dim_head
-        ok, ov = oq + dim_head, oq + 2 * dim_head
-        oo = h * dim_head
-        qg = qkv[:, :, oq:oq + dim_head] * scale  # (G, L, dh)
-        kg = qkv[:, :, ok:ok + dim_head]
-        vg = qkv[:, :, ov:ov + dim_head]
-        qc = qkvc[:, oq:oq + dim_head] * scale  # (1, dh)
-        kc = qkvc[:, ok:ok + dim_head]
-        vc = qkvc[:, ov:ov + dim_head]
-        do = dtok[:, :, oo:oo + dim_head].astype(f32)  # (G, L, dh)
-        dc = dcls[:, oo:oo + dim_head].astype(f32)  # (1, dh)
+    # stack heads once, batch every matmul over H·G — same restructure as
+    # the forward (the per-head loop was MXU-issue-bound; see
+    # _divided_kernel's docstring)
+    qs = jnp.stack([qkv[:, :, h*3*dh:h*3*dh + dh] for h in range(H)]) * scale
+    ks = jnp.stack([qkv[:, :, h*3*dh + dh:h*3*dh + 2*dh] for h in range(H)])
+    vs = jnp.stack([qkv[:, :, h*3*dh + 2*dh:h*3*dh + 3*dh] for h in range(H)])
+    qcs = jnp.stack([qkvc[:, h*3*dh:h*3*dh + dh] for h in range(H)]) * scale
+    kcs = jnp.stack([qkvc[:, h*3*dh + dh:h*3*dh + 2*dh] for h in range(H)])
+    vcs = jnp.stack([qkvc[:, h*3*dh + 2*dh:h*3*dh + 3*dh] for h in range(H)])
+    dos = jnp.stack([dtok[:, :, h*dh:(h+1)*dh] for h in range(H)])
+    dcs = jnp.stack([dcls[:, h*dh:(h+1)*dh] for h in range(H)])  # (H, 1, dh)
+    qf = qs.reshape(H * G, L, dh)
+    kf = ks.reshape(H * G, L, dh)
+    vf = vs.reshape(H * G, L, dh)
+    dof = dos.reshape(H * G, L, dh)
+    bcast = lambda t: jnp.broadcast_to(t[:, None], (H, G, 1, dh)).reshape(
+        H * G, 1, dh)
+    qcf, kcf, vcf, dcf = bcast(qcs), bcast(kcs), bcast(vcs), bcast(dcs)
 
-        # ---- token rows: recompute softmax exactly as the forward
-        logits_tok = jax.lax.dot_general(
-            qg, kg, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
-        )  # (G, L, L)
-        logits_cls = jnp.sum(
-            qg.astype(f32) * kc[0].astype(f32)[None, None, :],
-            axis=-1, keepdims=True,
-        )  # (G, L, 1)
-        logits = jnp.concatenate([logits_cls, logits_tok], axis=-1) + sbias[None]
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (G, L, 1+L) fp32
+    # ---- token rows: recompute softmax exactly as the forward
+    logits_tok = jax.lax.dot_general(
+        qf, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, L, L)
+    logits_cls = jax.lax.dot_general(
+        qf, kcf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, L, 1)
+    logits = jnp.concatenate([logits_cls, logits_tok], axis=-1) + sbias[None]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (H*G, L, 1+L) fp32
 
-        # d attn
-        dattn_tok = jax.lax.dot_general(
-            do, vg, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
-        )  # (G, L, L)
-        dattn_cls = jnp.sum(
-            do * vc[0].astype(f32)[None, None, :], axis=-1, keepdims=True
-        )  # (G, L, 1)
-        dattn = jnp.concatenate([dattn_cls, dattn_tok], axis=-1)
-        # softmax backward: dS = p ⊙ (dP − Σ_j dP_j p_j)
-        dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+    # d attn
+    dattn_tok = jax.lax.dot_general(
+        dof, vf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, L, L)
+    dattn_cls = jax.lax.dot_general(
+        dof, vcf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, L, 1)
+    dattn = jnp.concatenate([dattn_cls, dattn_tok], axis=-1)
+    # softmax backward: dS = p ⊙ (dP − Σ_j dP_j p_j)
+    dlogits = attn * (dattn - jnp.sum(dattn * attn, axis=-1, keepdims=True))
+    dl_cls = dlogits[..., :1]  # (H*G, L, 1)
 
-        # grads into q/k/v (token rows)
-        dq = jax.lax.dot_general(
-            dlogits[..., 1:], kg, (((2,), (1,)), ((0,), (0,))),
+    # grads into q/k/v (token rows)
+    dq = jax.lax.dot_general(
+        dlogits[..., 1:], kf, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ) + jax.lax.dot_general(  # (L,1)@(1,dh) outer product per batch cell
+        dl_cls, kcf.astype(f32), (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    dk = jax.lax.dot_general(
+        dlogits[..., 1:], qf.astype(f32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (H*G, L_k, dh): contract the query axis
+    # Σ_{L} dl_cls·q per cell via a contraction, then Σ_G via ones-matvec
+    dkc_g = jax.lax.dot_general(
+        dl_cls, qf.astype(f32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    ).reshape(H, G, dh)
+    ones = jnp.ones((H, 1, G), f32)
+    sum_g = lambda t: jax.lax.dot_general(
+        ones, t, (((2,), (1,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H, G, dh) -> (H, 1, dh)
+    dkc_tok = sum_g(dkc_g)
+    dv = jax.lax.dot_general(
+        attn[..., 1:], dof.astype(f32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (H*G, L_k, dh)
+    dvc_tok = sum_g(
+        jax.lax.dot_general(
+            attn[..., :1], dof.astype(f32), (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=f32,
-        ) + dlogits[..., :1] * kc[0].astype(f32)[None, None, :]
-        dk = jax.lax.dot_general(
-            dlogits[..., 1:], qg.astype(f32), (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )  # (G, L_k, dh): contract the query axis
-        dkc_tok = jnp.sum(dlogits[..., :1] * qg.astype(f32), axis=(0, 1),
-                          keepdims=True)[0]  # (1, dh)
-        dv = jax.lax.dot_general(
-            attn[..., 1:], do, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=f32,
-        )  # (G, L_k, dh)
-        dvc_tok = jnp.sum(attn[..., :1] * do, axis=(0, 1), keepdims=True)[0]
+        ).reshape(H, G, dh)
+    )
 
-        # ---- CLS row: recompute global softmax
-        lr = jnp.sum(
-            qc[0].astype(f32)[None, None, :] * kg.astype(f32), axis=-1
-        ) + rbias  # (G, L)
-        ls = jnp.sum(qc.astype(f32) * kc.astype(f32), axis=-1, keepdims=True)
-        mc = jnp.maximum(jnp.max(lr, axis=(0, 1), keepdims=True), ls)
-        pr = jnp.exp(lr - mc)
-        ps = jnp.exp(ls - mc)
-        z = jnp.sum(pr, axis=(0, 1), keepdims=True) + ps
-        pr = pr / z[0]  # (G, L) normalized
-        ps = ps / z  # (1, 1)
+    # ---- CLS row: recompute global softmax (same algebra as the forward)
+    lrf = jax.lax.dot_general(
+        qcf, kf, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (H*G, 1, L)
+    if rbias.shape == (1, 1):
+        lrf = lrf + rbias.reshape(1, 1, 1)
+    elif rbias.shape[0] == 1:
+        lrf = lrf + rbias.reshape(1, 1, L)
+    else:
+        lrf = lrf + jnp.broadcast_to(
+            rbias[None], (H, G, 1)
+        ).reshape(H * G, 1, 1)
+    ls = jnp.sum(qcs.astype(f32) * kcs.astype(f32), axis=-1, keepdims=True)
+    mg = jnp.max(lrf, axis=2, keepdims=True).reshape(H, G, 1)
+    mc = jnp.maximum(jnp.max(mg, axis=1, keepdims=True), ls)  # (H, 1, 1)
+    mcb = jnp.broadcast_to(mc, (H, G, 1)).reshape(H * G, 1, 1)
+    pru = jnp.exp(lrf - mcb)  # (H*G, 1, L) unnormalized
+    psu = jnp.exp(ls - mc)  # (H, 1, 1)
+    zg = jnp.sum(pru, axis=2, keepdims=True).reshape(H, G, 1)
+    z = jnp.sum(zg, axis=1, keepdims=True) + psu  # (H, 1, 1)
+    zb = jnp.broadcast_to(z, (H, G, 1)).reshape(H * G, 1, 1)
+    pr = pru / zb  # (H*G, 1, L) normalized
+    ps = psu / z  # (H, 1, 1)
 
-        dpr = jnp.sum(vg.astype(f32) * dc[0][None, None, :], axis=-1)  # (G, L)
-        dps = jnp.sum(vc.astype(f32) * dc, axis=-1, keepdims=True)  # (1, 1)
-        s_dot = jnp.sum(pr * dpr, axis=(0, 1), keepdims=True) + ps * dps
-        dlr = pr * (dpr - s_dot[0])  # (G, L)
-        dls = ps * (dps - s_dot)  # (1, 1)
+    dpr = jax.lax.dot_general(
+        dcf.astype(f32), vf.astype(f32), (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )  # (H*G, 1, L)
+    dps = jnp.sum(vcs.astype(f32) * dcs.astype(f32), axis=-1, keepdims=True)
+    sd_g = jnp.sum(pr * dpr, axis=2, keepdims=True).reshape(H, G, 1)
+    s_dot = jnp.sum(sd_g, axis=1, keepdims=True) + ps * dps  # (H, 1, 1)
+    s_dot_b = jnp.broadcast_to(s_dot, (H, G, 1)).reshape(H * G, 1, 1)
+    dlr = pr * (dpr - s_dot_b)  # (H*G, 1, L)
+    dls = ps * (dps - s_dot)  # (H, 1, 1)
 
-        dqc = scale * (
-            jnp.sum(dlr[:, :, None] * kg.astype(f32), axis=(0, 1), keepdims=True)[0]
-            + dls * kc.astype(f32)
-        )  # (1, dh); qc = raw·scale ⇒ chain the scale back
-        dk = dk + dlr[:, :, None] * qc[0].astype(f32)[None, None, :]
-        dkc = dkc_tok + dls * qc.astype(f32)
-        dv = dv + pr[:, :, None] * dc[0][None, None, :]
-        dvc = dvc_tok + ps * dc
+    dqc = scale * (
+        sum_g(
+            jax.lax.dot_general(
+                dlr, kf.astype(f32), (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+            ).reshape(H, G, dh)
+        )
+        + dls * kcs.astype(f32)
+    )  # (H, 1, dh); qc = raw·scale ⇒ chain the scale back
+    dk = dk + jax.lax.dot_general(  # dlrᵀ ⊗ qc per cell: (L,1)@(1,dh)
+        dlr, qcf.astype(f32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    dkc = dkc_tok + dls * qcs.astype(f32)
+    dv = dv + jax.lax.dot_general(  # prᵀ ⊗ dc per cell
+        pr, dcf.astype(f32), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=f32,
+    )
+    dvc = dvc_tok + ps * dcs.astype(f32)
 
-        dqkv_ref[0, :, :, oq:oq + dim_head] = (scale * dq).astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, :, ok:ok + dim_head] = dk.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, :, ov:ov + dim_head] = dv.astype(dqkv_ref.dtype)
-        dqkvc_ref[0, :, oq:oq + dim_head] = dqc.astype(dqkvc_ref.dtype)
-        dqkvc_ref[0, :, ok:ok + dim_head] = dkc.astype(dqkvc_ref.dtype)
-        dqkvc_ref[0, :, ov:ov + dim_head] = dvc.astype(dqkvc_ref.dtype)
+    dqh = (scale * dq).reshape(H, G, L, dh)
+    dkh = dk.reshape(H, G, L, dh)
+    dvh = dv.reshape(H, G, L, dh)
+    for h in range(H):
+        dqkv_ref[0, :, :, h*3*dh:h*3*dh + dh] = dqh[h].astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, h*3*dh + dh:h*3*dh + 2*dh] = dkh[h].astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, :, h*3*dh + 2*dh:h*3*dh + 3*dh] = dvh[h].astype(dqkv_ref.dtype)
+        dqkvc_ref[0, :, h*3*dh:h*3*dh + dh] = dqc[h].astype(dqkvc_ref.dtype)
+        dqkvc_ref[0, :, h*3*dh + dh:h*3*dh + 2*dh] = dkc[h].astype(dqkvc_ref.dtype)
+        dqkvc_ref[0, :, h*3*dh + 2*dh:h*3*dh + 3*dh] = dvc[h].astype(dqkvc_ref.dtype)
 
 
 def _bwd_call(qkv_g, qkv_cls, seq_bias, row_bias, d_tok, d_cls, heads,
