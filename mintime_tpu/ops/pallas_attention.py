@@ -525,6 +525,11 @@ _divided_attention_core.defvjp(_core_fwd, _core_bwd)
 
 def _token_rows_kernel(qkv_ref, qkvc_ref, sbias_ref, otok_ref, *, heads: int,
                        dim_head: int):
+    # NOTE: deliberately NOT restructured like _divided_kernel's
+    # heads×groups batching — measured SLOWER here (1.04 → 1.33 ms device
+    # on the conv geometry B=8, G=1280, L=8, H=6): stacking (TG, 8, dh)
+    # slices breaks bf16's (16, 128) sublane tiling at L=8, and the
+    # relayouts cost more than the batched dot_general saves.
     qkv = qkv_ref[0]  # (TG, L, 3*inner)
     qkvc = qkvc_ref[0]  # (1, 3*inner)
     sbias = sbias_ref[0]
