@@ -125,11 +125,15 @@ def mask_to_bias(mask) -> jnp.ndarray:
 # caller hands the kernel a (B, G, L, 3*inner) grouped layout — for the
 # space axis that IS the natural (B, F, n, ·) layout, for the time axis
 # one XLA transpose to (B, n, F, ·) (cheaper than per-head VMEM swaps,
-# measured on v5e). Per-head lane slicing happens on VMEM-resident data.
-# Mosaic constraint driving the design: sublane reshapes like
-# (784, d) → (16, 49, d) are unsupported, while 64-wide lane slices are
-# fine (probed on v5e). HBM traffic per layer ≈ read qkv + write out,
-# ~6× less than the grouped-einsum XLA path.
+# measured on v5e). Per-head lane slicing + head stacking happen on
+# VMEM-resident data (near-free: ~0.02 ms vs the 0.10 ms streaming floor),
+# then every matmul batches over heads×groups — the per-head-loop variant
+# measured MXU-issue-bound. Mosaic constraints probed on v5e: sublane
+# reshapes like (784, d) → (16, 49, d) are unsupported; 64-wide lane
+# slices, leading-dim stacks, and leading-dim merges are fine; multi-axis
+# reduces need a unit trailing dim (hence the ones-matvec group sums).
+# HBM traffic per layer ≈ read qkv + write out, ~6× less than the
+# grouped-einsum XLA path.
 # ---------------------------------------------------------------------------
 
 
@@ -262,8 +266,8 @@ def _fwd_call(qkv_g, qkv_cls, seq_bias, row_bias, heads, dim_head):
         kernel,
         grid=(B,),
         interpret=jax.default_backend() == "cpu",  # CI runs on CPU
-        # the 8-way unrolled head loop keeps per-head temporaries live past
-        # the default 16 MB scoped-vmem budget; v5e has headroom above it
+        # the stacked (H·G, L, ·) intermediates exceed the default 16 MB
+        # scoped-vmem budget; v5e has headroom above it
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         in_specs=[
             pl.BlockSpec((1, G, L, c3), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
