@@ -28,8 +28,12 @@ companions (VERDICT r1 weak#1, r2 missing#1/#4/#5):
   ~200 MB frame upload (link-bound on this tunnel rig — see ``link_mbps``);
   ``detect_compute_frames_per_sec`` is the same cascade with frames staged
   on device, i.e. the attached-host rate.
-* ``slowfast_forward_videos_per_sec_per_chip`` — the --model 2 variant's
-  jitted forward (device-resident input).
+* ``slowfast_forward_videos_per_sec_per_chip`` /
+  ``baseline_forward_videos_per_sec_per_chip`` /
+  ``conv_timesformer_forward_videos_per_sec_per_chip`` — the --model
+  2 / 0 / 3 variants' jitted forwards (device-resident inputs), so every
+  zoo variant has a measured number (BASELINE.json north star: all four
+  configs on one codebase).
 * ``mfu_pct`` / ``train_mfu_pct`` — model FLOPs utilization of the forward
   / train programs against the chip's peak bf16 FLOP/s, from XLA's own
   ``cost_analysis`` of the compiled executable PLUS an analytic count of
@@ -361,6 +365,64 @@ def bench_train(jax, jnp, cfg):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_baseline(jax, jnp, cfg):
+    """--model 0 (EfficientNet-B0 + MLP baseline) jitted forward."""
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+
+    from __graft_entry__ import _example_batch
+
+    model = MintimeVideoClassifier(
+        cfg, backbone="efficientnet-b0", head="baseline", dtype=jnp.bfloat16,
+    )
+    batch_size = 32
+    batch = _example_batch(batch_size, cfg)
+    args = tuple(
+        jax.device_put(batch[k])
+        for k in ("frames", "mask", "identities_mask", "size_embedding", "positions")
+    )
+    variables = jax.device_put(jax.jit(model.init)(jax.random.key(0), *args))
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    _sync(fwd(variables, *args))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, *args)
+    _sync(out)
+    return batch_size * iters / (time.perf_counter() - t0)
+
+
+def bench_conv_timesformer(jax, jnp):
+    """--model 3 (Convolutional TimeSformer) jitted forward at its preset
+    config (G-tiled fused kernels)."""
+    import numpy as np
+
+    from mintime_tpu.config import load_config
+    from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
+
+    cfg = load_config("configs/convolutional_timesformer.yaml").model
+    model = ConvolutionalTimeSformer(cfg, dtype=jnp.bfloat16, use_pallas=True)
+    bs = 8
+    rng = np.random.default_rng(0)
+    frames = jax.device_put(
+        rng.standard_normal(
+            (bs, cfg.num_frames, cfg.image_size, cfg.image_size, 3)
+        ).astype(np.float32)
+    )
+    mask = jax.device_put(np.ones((bs, cfg.num_frames), bool))
+    sizes = jax.device_put(np.ones((bs, cfg.num_frames), np.int32))
+    variables = jax.device_put(
+        jax.jit(model.init)(jax.random.key(0), frames, mask, sizes)
+    )
+    fwd = jax.jit(lambda v, f, m, s: model.apply(v, f, m, s))
+    _sync(fwd(variables, frames, mask, sizes))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, frames, mask, sizes)
+    _sync(out)
+    return bs * iters / (time.perf_counter() - t0)
+
+
 def bench_slowfast(jax, jnp, cfg):
     """--model 2 jitted forward on a device-resident crop-sequence batch."""
     from mintime_tpu.models.slowfast import SlowFastClassifier
@@ -457,6 +519,8 @@ def main():
     )
     train_vps, train_step_vps, train_mfu = _stage("train", bench_train, jax, jnp, cfg)
     slowfast_vps = _stage("slowfast", bench_slowfast, jax, jnp, cfg)
+    baseline_vps = _stage("baseline", bench_baseline, jax, jnp, cfg)
+    conv_vps = _stage("conv_timesformer", bench_conv_timesformer, jax, jnp)
     det_fps, det_compute_fps = _stage("detection", bench_detection, jax)
     link_mbps = _stage("link", bench_link, jax)
 
@@ -471,6 +535,8 @@ def main():
         "host_ms_per_video": round(1000.0 / host_pack_vps, 2),
         "host_cores": os.cpu_count(),
         "slowfast_forward_videos_per_sec_per_chip": round(slowfast_vps, 2),
+        "baseline_forward_videos_per_sec_per_chip": round(baseline_vps, 2),
+        "conv_timesformer_forward_videos_per_sec_per_chip": round(conv_vps, 2),
         "detect_frames_per_sec": round(det_fps, 2),
         "detect_compute_frames_per_sec": round(det_compute_fps, 2),
         "mfu_pct": round(mfu, 2),
