@@ -16,6 +16,7 @@ per-identity attention, optional annotated ``.avi``.
 
 from __future__ import annotations
 
+import contextlib
 import os
 from dataclasses import dataclass
 from typing import Any, Sequence
@@ -265,6 +266,7 @@ def predict_videos(
     every_n: int = 1,
     batch_size: int = 8,
     boxes_per_video: Sequence[dict | None] | None = None,
+    mesh=None,
 ) -> list[PredictionResult]:
     """Batched serving path: N videos → one jitted forward per batch.
 
@@ -277,7 +279,27 @@ def predict_videos(
     and batched calls compiles each batch shape once. Attention maps are
     sliced per video exactly like evaluate's batch plotting
     (``aggregate_attentions`` consumes ``(heads, 1, 1+F·n)`` rows).
+
+    With ``mesh`` (from :func:`mintime_tpu.parallel.mesh.make_mesh`) the
+    batch axis shards over the mesh's ``data`` axis and each forward runs
+    data-parallel across every chip — same scaling story as ``evaluate``'s
+    CLI. ``batch_size`` must divide by the mesh's data-axis size; every
+    batch is then padded to the full ``batch_size`` so one program serves
+    the whole run.
     """
+    if mesh is not None:
+        import jax
+
+        from mintime_tpu.parallel.mesh import replicated, shard_batch
+
+        ndata = mesh.shape["data"]
+        if batch_size % ndata:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the mesh data axis"
+                f" ({ndata})"
+            )
+        variables = jax.device_put(variables, replicated(mesh))
+
     staged = []  # (path, batch_dict, plan, crop_store)
     for i, path in enumerate(video_paths):
         boxes = boxes_per_video[i] if boxes_per_video else None
@@ -289,16 +311,28 @@ def predict_videos(
     fwd = _jitted_forward(model)
     results: list[PredictionResult] = []
     heads = cfg.model.heads
-    for start in range(0, len(staged), batch_size):
+    if mesh is not None:
+        import jax
+
+        ctx = jax.set_mesh(mesh)
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+      for start in range(0, len(staged), batch_size):
         chunk = staged[start : start + batch_size]
         n = len(chunk)
-        pad = batch_size - n if len(staged) > batch_size else 0
+        if mesh is not None:  # fixed shape: one compile for the whole run
+            pad = batch_size - n
+        else:
+            pad = batch_size - n if len(staged) > batch_size else 0
         stacked = {
             k: np.concatenate(
                 [c[1][k] for c in chunk] + [chunk[0][1][k]] * pad
             )
             for k in chunk[0][1]
         }
+        if mesh is not None:
+            stacked = shard_batch(mesh, stacked)
         logits, attns = fwd(
             variables,
             stacked["frames"],

@@ -142,3 +142,47 @@ def test_predict_videos_batched_matches_single(synthetic_video, tmp_path_factory
     np.testing.assert_allclose(
         batched[0].probability, batched[2].probability, rtol=1e-6
     )
+
+
+def test_predict_videos_mesh_matches_single(synthetic_video):
+    """predict_videos with a (data, model) mesh — the multi-chip serving
+    path — returns the same results as the single-device path (batch rows
+    shard over the 8 virtual CPU devices; pad rows are discarded)."""
+    from mintime_tpu.parallel.mesh import make_mesh
+    from mintime_tpu.predict import predict_videos
+
+    cfg = MintimeConfig(model=SMALL)
+    model = MintimeVideoClassifier(
+        SMALL, backbone="efficientnet-b0", head="timesformer", require_attention=True
+    )
+    frames = np.zeros((1, SMALL.num_frames, 32, 32, 3), np.float32)
+    mask = np.ones((1, SMALL.num_frames), bool)
+    id_mask = np.ones((1, SMALL.num_frames, SMALL.num_frames), bool)
+    size_emb = np.ones((1, SMALL.num_frames), np.int32)
+    positions = np.arange(1 + SMALL.num_frames)[None].astype(np.int32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), frames, mask, id_mask, size_emb, positions
+    )
+
+    mesh = make_mesh(jax.devices())  # 8 virtual CPU devices (conftest)
+    paths = [synthetic_video] * 3  # 3 videos, batch 8 → one padded batch
+    sharded = predict_videos(
+        paths, model, variables, cfg, FakeDetector(), FakeEmbedder(),
+        batch_size=8, mesh=mesh,
+    )
+    single = predict_video(
+        synthetic_video, model, variables, cfg, FakeDetector(), FakeEmbedder()
+    )
+    assert len(sharded) == 3
+    for res in sharded:
+        np.testing.assert_allclose(res.probability, single.probability, rtol=1e-5)
+        np.testing.assert_allclose(
+            res.identity_attentions, single.identity_attentions, rtol=1e-4
+        )
+        assert res.frames_per_identity == single.frames_per_identity
+
+    with pytest.raises(ValueError, match="data axis"):
+        predict_videos(
+            paths, model, variables, cfg, FakeDetector(), FakeEmbedder(),
+            batch_size=3, mesh=mesh,
+        )
