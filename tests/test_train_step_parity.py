@@ -44,7 +44,16 @@ def _reference_model(cfg):
     return RefModel(config=ref_cfg, require_attention=False), torch
 
 
-def test_one_sgd_step_matches_reference():
+def _torch_opt(name, params, torch):
+    if name == "SGD":  # train.py:186 — no momentum
+        return torch.optim.SGD(params, lr=LR, weight_decay=WD)
+    if name == "AdamW":
+        return torch.optim.AdamW(params, lr=LR, weight_decay=WD)
+    return torch.optim.Adam(params, lr=LR, weight_decay=WD)
+
+
+@pytest.mark.parametrize("optimizer", ["SGD", "Adam", "AdamW"])
+def test_one_train_step_matches_reference(optimizer):
     cfg = SMALL
     ref, torch = _reference_model(cfg)
     ref.train()  # all dropouts are p=0 in SMALL; train mode is still honest
@@ -57,10 +66,11 @@ def test_one_sgd_step_matches_reference():
     x, mask, id_mask, size_emb, positions = make_inputs(cfg)
     labels = np.array([0.0, 1.0], np.float32)
 
-    # ---- torch side: forward, loss, backward, SGD step (train.py:186,
-    # 261, 364-377: loss computed on cpu, optimizer.step once per batch)
+    # ---- torch side: forward, loss, backward, optimizer step
+    # (train.py:185-191, 261, 364-377: loss computed on cpu,
+    # optimizer.step once per batch)
     loss_fn = torch.nn.BCEWithLogitsLoss(pos_weight=torch.tensor([POS_WEIGHT]))
-    opt = torch.optim.SGD(ref.parameters(), lr=LR, weight_decay=WD)
+    opt = _torch_opt(optimizer, ref.parameters(), torch)
     y_pred = ref(
         torch.tensor(np.moveaxis(x, -1, 2)),  # B F h w C -> B F C h w
         mask=torch.tensor(mask),
@@ -91,7 +101,7 @@ def test_one_sgd_step_matches_reference():
     j_loss, grads = jax.jit(jax.value_and_grad(loss_fn_jax))(params)
     tx = make_optimizer(
         MintimeConfig(training=TrainingConfig(
-            lr=LR, weight_decay=WD, optimizer="SGD", scheduler="none",
+            lr=LR, weight_decay=WD, optimizer=optimizer, scheduler="none",
         )),
         LR,
     )
@@ -112,9 +122,25 @@ def test_one_sgd_step_matches_reference():
     flat_got = jax.tree_util.tree_leaves_with_path(got)
     want_map = dict(jax.tree_util.tree_leaves_with_path(want))
     assert len(flat_got) > 10
+    # Adam/AdamW normalize the first step by sqrt(v) = |g|, so elements
+    # whose gradient sits at fp32-noise scale get an O(lr) update whose
+    # SIGN depends on accumulation order — a handful per 10^4 elements land
+    # up to ~lr/100 apart. SGD has no such amplification, so it gets a
+    # strict elementwise check; the adaptive optimizers get a strict check
+    # on ≥99.9% of elements plus a global bound (a formula bug — wrong
+    # eps, bias correction, or decoupling — shifts EVERY element by O(lr)).
     for path, leaf in flat_got:
+        leaf = np.asarray(leaf)
         ref_leaf = np.asarray(want_map[path])
-        np.testing.assert_allclose(
-            np.asarray(leaf), ref_leaf, rtol=5e-4, atol=5e-6,
-            err_msg=f"param {jax.tree_util.keystr(path)}",
-        )
+        name = f"param {jax.tree_util.keystr(path)}"
+        if optimizer == "SGD":
+            np.testing.assert_allclose(
+                leaf, ref_leaf, rtol=5e-4, atol=5e-6, err_msg=name
+            )
+        else:
+            close = np.isclose(leaf, ref_leaf, rtol=5e-4, atol=2e-5)
+            assert close.mean() > 0.999, (
+                f"{name}: {(~close).sum()}/{close.size} elements beyond the "
+                "strict tolerance"
+            )
+            assert np.abs(leaf - ref_leaf).max() < LR / 10, name
