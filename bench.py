@@ -275,15 +275,19 @@ def bench_host_pipeline(cfg):
                     ds, 8, num_workers=max(2, (os.cpu_count() or 2) - 1),
                     drop_last=True,
                 )
-                n = 0
                 for batch in loader:  # epoch 0: index build + warm page cache
-                    n += len(batch["labels"])
-                t0 = time.perf_counter()
-                n = 0
-                for _ in range(2):
+                    pass
+                # best-of-3 epochs: the 1-core rig's contention noise is
+                # one-sided (it only ever slows an epoch down), so max is
+                # the least-biased throughput estimate
+                best = 0.0
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    n = 0
                     for batch in loader:
                         n += len(batch["labels"])
-                out[(name, mode)] = n / (time.perf_counter() - t0)
+                    best = max(best, n / (time.perf_counter() - t0))
+                out[(name, mode)] = best
         finally:
             shutil.rmtree(root, ignore_errors=True)
     return (
