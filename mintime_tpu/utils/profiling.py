@@ -109,3 +109,116 @@ def op_stats(trace_dir: str, top: int = 20) -> list[dict]:
         )
     out.sort(key=lambda o: -o["self_ms"])
     return out[:top]
+
+
+def _example_inputs(cfg, batch: int):
+    """Fixed-shape random inputs at the config's flagship shapes (the same
+    contract the data layer produces — see __graft_entry__._example_batch)."""
+    import numpy as np
+
+    F, n = cfg.num_frames, cfg.num_patches
+    rng = np.random.default_rng(0)
+    frames = rng.standard_normal(
+        (batch, F, cfg.image_size, cfg.image_size, 3)
+    ).astype(np.float32)
+    mask = np.ones((batch, F), bool)
+    id_mask = np.ones((batch, F, F), bool)
+    size_emb = rng.integers(1, 21, size=(batch, F)).astype(np.int32)
+    # (B, 1 + F·n): 0 = CLS, then each frame's n patch tokens share the
+    # frame's temporal rank (models/timesformer.py:262,304-306)
+    positions = np.concatenate(
+        [[0], np.repeat(np.arange(1, F + 1), n)]
+    ).astype(np.int32)
+    positions = np.tile(positions, (batch, 1))
+    return frames, mask, id_mask, size_emb, positions
+
+
+def main(argv=None):
+    """``python -m mintime_tpu.utils.profiling`` — trace N jitted forwards
+    of a zoo variant and print the per-op device-time table (the tool that
+    found the depthwise-conv, attention-layout, and MXU-issue bottlenecks
+    documented in README/PARITY). The per-op table needs a TPU backend;
+    on CPU the trace is still written for TensorBoard but the framework-op
+    stats come back empty and a note is printed instead.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser("mintime-tpu profiler")
+    p.add_argument("--config", default="configs/size_invariant_timesformer.yaml")
+    p.add_argument("--model", type=int, default=1,
+                   help="0 baseline | 1 timesformer | 2 slowfast | 3 conv")
+    p.add_argument("--extractor_model", type=int, default=0)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--top", type=int, default=25)
+    p.add_argument("--trace_dir", default="/tmp/mintime-trace")
+    p.add_argument("--fused_attention", type=int, choices=(0, 1), default=None)
+    opt = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mintime_tpu.config import load_config
+
+    cfg = load_config(opt.config).model
+    fused = opt.fused_attention
+    if fused is None:
+        fused = jax.default_backend() == "tpu"
+
+    if opt.model == 2:
+        from mintime_tpu.models.slowfast import SlowFastClassifier
+
+        model = SlowFastClassifier(num_classes=cfg.num_classes, dtype=jnp.bfloat16)
+        frames = _example_inputs(cfg, opt.batch)[0]
+        args = (frames,)
+    elif opt.model == 3:
+        from mintime_tpu.models.conv_timesformer import ConvolutionalTimeSformer
+
+        model = ConvolutionalTimeSformer(
+            cfg, dtype=jnp.bfloat16, use_pallas=bool(fused)
+        )
+        frames, mask, _, size_emb, _ = _example_inputs(cfg, opt.batch)
+        args = (frames, mask, size_emb)
+    else:
+        from mintime_tpu.models.classifier import MintimeVideoClassifier
+
+        cfg = type(cfg)(**{**cfg.__dict__, "channels": 1280})
+        model = MintimeVideoClassifier(
+            cfg,
+            backbone="efficientnet-b0" if opt.extractor_model == 0 else "xception",
+            head="baseline" if opt.model == 0 else "timesformer",
+            dtype=jnp.bfloat16,
+            use_pallas=bool(fused) and opt.model == 1,
+        )
+        args = _example_inputs(cfg, opt.batch)
+
+    args = tuple(jax.device_put(a) for a in args)
+    variables = jax.device_put(jax.jit(model.init)(jax.random.key(0), *args))
+    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    sync(fwd(variables, *args))  # compile / warm up outside the trace
+    t0 = time.perf_counter()
+    with trace(opt.trace_dir) as td:
+        for _ in range(opt.iters):
+            out = fwd(variables, *args)
+        sync(out)
+    dt = time.perf_counter() - t0
+    print(f"{opt.iters} x batch {opt.batch} forward: "
+          f"{opt.batch * opt.iters / dt:.1f} videos/s (trace: {td})")
+    try:
+        rows = [r for r in op_stats(td, top=opt.top) if r["type"] != "IDLE"]
+    except Exception as e:  # xprof missing / malformed trace
+        print(f"(op table unavailable: {e})")
+        return
+    if not any(r["self_ms"] for r in rows):
+        print("(per-op device stats need a TPU backend; trace is still "
+              "TensorBoard-loadable)")
+        return
+    for r in rows:
+        print(f"{r['self_ms'] / opt.iters:8.3f} ms/call  "
+              f"{str(r['type'])[:24]:24} {str(r['bound_by'])[:10]:10} "
+              f"{r['name'][:70]}")
+
+
+if __name__ == "__main__":
+    main()

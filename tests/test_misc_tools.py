@@ -81,3 +81,22 @@ def test_step_timer():
     t = StepTimer(batch_size=4)
     t.step(10)
     assert t.videos_per_sec > 0
+
+
+def test_profiling_cli_smoke(capsys, tmp_path):
+    """The profiler CLI runs a tiny traced forward; on the CPU backend the
+    per-op table is empty and it must degrade to a note, not crash."""
+    from mintime_tpu.utils import profiling
+
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(
+        "model:\n  image-size: 64\n  num-frames: 8\n  num-patches: 4\n"
+        "  dim: 32\n  depth: 1\n  heads: 2\n  dim-head: 16\n"
+        "  max-identities: 2\n"
+    )
+    profiling.main([
+        "--config", str(cfg_path), "--batch", "2", "--iters", "1",
+        "--trace_dir", str(tmp_path / "trace"),
+    ])
+    out = capsys.readouterr().out
+    assert "videos/s" in out
