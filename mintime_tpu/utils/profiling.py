@@ -153,6 +153,10 @@ def main(argv=None):
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--trace_dir", default="/tmp/mintime-trace")
     p.add_argument("--fused_attention", type=int, choices=(0, 1), default=None)
+    p.add_argument("--grad", action="store_true", default=False,
+                   help="profile forward+backward (grad of sum-of-logits "
+                        "through the custom_vjp kernels) instead of the "
+                        "forward alone")
     opt = p.parse_args(argv)
 
     import jax
@@ -195,7 +199,18 @@ def main(argv=None):
 
     args = tuple(jax.device_put(a) for a in args)
     variables = jax.device_put(jax.jit(model.init)(jax.random.key(0), *args))
-    fwd = jax.jit(lambda v, *a: model.apply(v, *a))
+    if opt.grad:
+        def _loss(v, *a):
+            out = model.apply(v, *a)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.jit(jax.grad(_loss))
+        fwd = jax.jit(
+            lambda v, *a: jax.tree.map(lambda t: t.astype(jnp.float32).sum(),
+                                       g(v, *a))
+        )
+    else:
+        fwd = jax.jit(lambda v, *a: model.apply(v, *a))
     sync(fwd(variables, *args))  # compile / warm up outside the trace
     t0 = time.perf_counter()
     with trace(opt.trace_dir) as td:
@@ -203,7 +218,8 @@ def main(argv=None):
             out = fwd(variables, *args)
         sync(out)
     dt = time.perf_counter() - t0
-    print(f"{opt.iters} x batch {opt.batch} forward: "
+    what = "fwd+bwd" if opt.grad else "forward"
+    print(f"{opt.iters} x batch {opt.batch} {what}: "
           f"{opt.batch * opt.iters / dt:.1f} videos/s (trace: {td})")
     try:
         rows = [r for r in op_stats(td, top=opt.top) if r["type"] != "IDLE"]
