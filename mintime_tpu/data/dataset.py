@@ -460,7 +460,9 @@ class DeepfakesDataset:
         # The reference feeds raw 0..255 floats (its albumentations stacks
         # contain no Normalize), so uint8 is value-exact.
         sample = {
-            "frames": np.stack(frames),
+            # Compose already returns a stacked (F, S, S, 3) array;
+            # np.asarray is a no-op there (np.stack would re-copy)
+            "frames": np.asarray(frames),
             "size_embedding": size_embeddings,
             "mask": plan.mask,
             "identities_mask": plan.identities_mask,
