@@ -57,6 +57,55 @@ class PredictionResult:
     plan: Any = None
 
 
+def decode_for_predict(video_path: str, crop_step: int | None = None):
+    """ONE decode pass serving both predict stages: half-res RGB frames for
+    detection plus the 1-crop/sec full-res BGR frames for cropping.
+
+    The reference decodes every video twice — once at half resolution for
+    the detector (predict.py:37-59 via face_detector.py:59-83) and again at
+    full resolution for the crops (predict.py:61-142) — paying the h264
+    decode twice. Decoding is a top per-stage cost of the end-to-end
+    pipeline (see bench.py's e2e stage table), so the fused pipeline
+    streams the video once, downscaling each frame for detection and
+    retaining only the full-res frames the 1/sec crop walk will index.
+
+    Returns ``(half_frames, full_frames: dict[idx → BGR], fps)``.
+    """
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
+    step = max(crop_step or fps, 1)
+    half, full = [], {}
+    i = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if i % step == 0:
+            full[i] = frame
+        rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        half.append(
+            cv2.resize(rgb, (frame.shape[1] // 2, frame.shape[0] // 2))
+        )
+        i += 1
+    cap.release()
+    return half, full, fps
+
+
+def detect_on_frames(frames: Sequence[np.ndarray], detector, every_n: int = 1) -> dict:
+    """Cascade over already-decoded half-res frames → boxes dict."""
+    indices = list(range(0, len(frames), every_n))
+    if hasattr(detector, "detect_batch"):  # batched cascade (SURVEY §2.1)
+        per_frame = detector.detect_batch([frames[i] for i in indices])
+    else:  # injected single-frame detectors (tests, custom backends)
+        per_frame = [detector.detect(frames[i]) for i in indices]
+    return {
+        str(i): det[:, :4].tolist() if len(det) else None
+        for i, det in zip(indices, per_frame)
+    }
+
+
 def detect_video_faces(video_path: str, detector, every_n: int = 1) -> tuple[dict, int, tuple]:
     """Half-res detection over all frames (predict.py:37-59). Returns
     (boxes dict, fps, (width, height)) with half-res coordinates."""
@@ -65,43 +114,50 @@ def detect_video_faces(video_path: str, detector, every_n: int = 1) -> tuple[dic
     frames, fps = decode_half_res(video_path)
     if not frames:
         raise ValueError(f"could not decode {video_path}")
-    indices = list(range(0, len(frames), every_n))
-    if hasattr(detector, "detect_batch"):  # batched cascade (SURVEY §2.1)
-        per_frame = detector.detect_batch([frames[i] for i in indices])
-    else:  # injected single-frame detectors (tests, custom backends)
-        per_frame = [detector.detect(frames[i]) for i in indices]
-    boxes = {
-        str(i): det[:, :4].tolist() if len(det) else None
-        for i, det in zip(indices, per_frame)
-    }
+    boxes = detect_on_frames(frames, detector, every_n)
     if not any(v for v in boxes.values()):
         raise ValueError("No faces found.")  # predict.py:55-58
     h, w = frames[0].shape[:2]
     return boxes, fps, (w * 2, h * 2)
 
 
-def extract_video_crops(video_path: str, boxes: dict, fps: int):
-    """1-crop/sec square crops + their (half-res) boxes (predict.py:61-142)."""
-    import cv2
-
-    capture = cv2.VideoCapture(video_path)
-    frames = []
-    while True:
-        ok, frame = capture.read()
-        if not ok:
-            break
-        frames.append(frame)
-    capture.release()
+def crops_from_frames(full_frames: dict, boxes: dict, fps: int):
+    """1-crop/sec square crops from pre-decoded full-res frames."""
     crops = []  # (frame_idx, face_idx, crop_bgr, bbox_half_res)
-    for i in range(0, len(frames), max(fps, 1)):
-        det = pick_detection_frame(boxes, i, max(fps, 1))
+    step = max(fps, 1)
+    for i in sorted(full_frames):
+        det = pick_detection_frame(boxes, i, step)
         if det is None:
             continue
         for j, bbox in enumerate(boxes[str(det)] or []):
-            crop = square_crop(frames[i], bbox)
+            crop = square_crop(full_frames[i], bbox)
             if crop.size:
                 crops.append((i, j, crop, bbox))
     return crops
+
+
+def extract_video_crops(video_path: str, boxes: dict, fps: int):
+    """1-crop/sec square crops + their (half-res) boxes (predict.py:61-142).
+
+    Streams with ``grab()``/``retrieve()``: every frame is still decoded
+    (inter-frame codecs require it) but the color-convert + copy happens
+    only for the 1/sec frames actually cropped — the reference materializes
+    the whole full-res clip in memory first (predict.py:61-75).
+    """
+    import cv2
+
+    capture = cv2.VideoCapture(video_path)
+    step = max(fps, 1)
+    full: dict[int, np.ndarray] = {}
+    i = 0
+    while capture.grab():
+        if i % step == 0:
+            ok, frame = capture.retrieve()
+            if ok:
+                full[i] = frame
+        i += 1
+    capture.release()
+    return crops_from_frames(full, boxes, fps)
 
 
 def cluster_crops(crops, embedder, threshold: float = 0.45):
@@ -169,12 +225,76 @@ def assemble_inputs(identities: dict, video_dims, cfg: MintimeConfig):
         frames.append(crop)
     frames = transform(frames, rng)
     return {
-        "frames": np.stack(frames).astype(np.float32)[None],
+        "frames": np.asarray(frames).astype(np.float32)[None],
         "mask": plan.mask[None],
         "identities_mask": plan.identities_mask[None],
         "size_embedding": size_embeddings[None],
         "positions": plan.positions[None],
     }, plan, crop_store
+
+
+def _stage_videos_pipelined(
+    video_paths: Sequence[str],
+    detector,
+    embedder,
+    cfg: MintimeConfig,
+    similarity_threshold: float,
+    every_n: int,
+    boxes_per_video,
+):
+    """Yield ``(path, batch, plan, crop_store)`` per video with detection
+    pipelining: while video ``i``'s stage-1 pyramid executes on device
+    (async dispatch), the host decodes video ``i+1`` and dispatches its
+    pyramid, then finishes video ``i`` (NMS + R/O-Net stages + crops +
+    cluster + assemble). Decode and cascade are the two biggest per-video
+    costs of the serving path (bench.py e2e stage table), so overlapping
+    them approaches max(decode, cascade) instead of their sum. Falls back
+    to the sequential path for injected detectors without a dispatch split
+    or when precomputed boxes skip detection. Results are bit-identical to
+    ``_stage_video`` per video.
+    """
+    can_pipeline = hasattr(detector, "_dispatch_stage1") and hasattr(
+        detector, "_finish_detect"
+    )
+
+    def _start(i):
+        """Decode video i and launch its pyramid (async dispatch)."""
+        path = video_paths[i]
+        boxes = boxes_per_video[i] if boxes_per_video else None
+        if boxes is not None or not can_pipeline:
+            return ("direct", path, boxes)
+        half, full, fps = decode_for_predict(path)
+        if not half:
+            raise ValueError(f"could not decode {path}")
+        indices = list(range(0, len(half), every_n))
+        sel = [half[j] for j in indices]
+        pre = detector._dispatch_stage1(sel)
+        return ("pipelined", path, sel, indices, full, fps, pre)
+
+    pending = _start(0) if video_paths else None
+    for i in range(len(video_paths)):
+        # decode + dispatch video i+1 while video i's pyramid runs on device
+        nxt = _start(i + 1) if i + 1 < len(video_paths) else None
+        if pending[0] == "direct":
+            _, path, boxes = pending
+            yield (path, *_stage_video(
+                path, detector, embedder, cfg, similarity_threshold,
+                every_n, boxes,
+            ))
+        else:
+            _, path, sel, indices, full, fps, pre = pending
+            per_frame = detector._finish_detect(sel, pre)
+            boxes = {
+                str(j): det[:, :4].tolist() if len(det) else None
+                for j, det in zip(indices, per_frame)
+            }
+            if not any(v for v in boxes.values()):
+                raise ValueError("No faces found.")  # predict.py:55-58
+            h, w = sel[0].shape[:2]
+            crops = crops_from_frames(full, boxes, fps)
+            identities, _ = cluster_crops(crops, embedder, similarity_threshold)
+            yield (path, *assemble_inputs(identities, (w * 2, h * 2), cfg))
+        pending = nxt
 
 
 def _stage_video(
@@ -186,10 +306,20 @@ def _stage_video(
     every_n: int,
     boxes: dict | None,
 ):
-    """All host stages for one video: detect → crop → cluster → assemble.
-    Shared by ``predict_video`` and ``predict_videos``."""
+    """All host stages for one video: decode once → detect → crop →
+    cluster → assemble. Shared by ``predict_video`` and ``predict_videos``."""
     if boxes is None:
-        boxes, fps, video_dims = detect_video_faces(video_path, detector, every_n)
+        # single decode pass feeds both detection (half-res) and the crop
+        # walk (1/sec full-res) — the reference decodes the video twice
+        half, full, fps = decode_for_predict(video_path)
+        if not half:
+            raise ValueError(f"could not decode {video_path}")
+        boxes = detect_on_frames(half, detector, every_n)
+        if not any(v for v in boxes.values()):
+            raise ValueError("No faces found.")  # predict.py:55-58
+        h, w = half[0].shape[:2]
+        video_dims = (w * 2, h * 2)
+        crops = crops_from_frames(full, boxes, fps)
     else:
         import cv2
 
@@ -197,7 +327,7 @@ def _stage_video(
         fps = int(cap.get(5)) or 30
         video_dims = (cap.get(3), cap.get(4))
         cap.release()
-    crops = extract_video_crops(video_path, boxes, fps)
+        crops = extract_video_crops(video_path, boxes, fps)
     identities, _ = cluster_crops(crops, embedder, similarity_threshold)
     return assemble_inputs(identities, video_dims, cfg)
 
@@ -300,13 +430,14 @@ def predict_videos(
             )
         variables = jax.device_put(variables, replicated(mesh))
 
-    staged = []  # (path, batch_dict, plan, crop_store)
-    for i, path in enumerate(video_paths):
-        boxes = boxes_per_video[i] if boxes_per_video else None
-        batch, plan, crop_store = _stage_video(
-            path, detector, embedder, cfg, similarity_threshold, every_n, boxes
+    # host stages with detection pipelining: video i+1's decode + pyramid
+    # dispatch overlap video i's NMS/crop/cluster/assemble
+    staged = list(  # (path, batch_dict, plan, crop_store)
+        _stage_videos_pipelined(
+            video_paths, detector, embedder, cfg, similarity_threshold,
+            every_n, boxes_per_video,
         )
-        staged.append((path, batch, plan, crop_store))
+    )
 
     fwd = _jitted_forward(model)
     results: list[PredictionResult] = []

@@ -383,6 +383,44 @@ class MTCNNDetector:
             )
         return jax.device_put(batch)
 
+    def _dispatch_stage1(self, frames: Sequence[np.ndarray], staged=None):
+        """Launch the stage-1 pyramid for a video WITHOUT fetching results.
+
+        The returned handle holds un-fetched device arrays — on the async
+        dispatch path the pyramid executes while the host does other work
+        (another video's NMS/stages). ``_finish_detect`` consumes it.
+        """
+        T = len(frames)
+        if T == 0:
+            return None
+        H, W = frames[0].shape[:2]
+        # scale pyramid with facenet-pytorch's exact accumulation (detect_face:
+        # minl *= factor each level, checked before appending)
+        m = 12.0 / self.min_face_size
+        minl = min(H, W) * m
+        scales: list[float] = []
+        scale_i = m
+        while minl >= 12:
+            scales.append(scale_i)
+            scale_i *= self.factor
+            minl *= self.factor
+        if not scales:  # image smaller than the minimum face
+            return (tuple(), None)
+        if staged is not None:
+            batch = staged  # pre-uploaded + bucket-padded (stage_frames)
+        else:
+            batch = np.stack(frames)  # uint8, lossless transfer
+            tb = _bucket_frames(T)
+            if tb > T:  # quantize the frame axis so XLA programs repeat
+                batch = np.concatenate(
+                    [batch, np.zeros((tb - T,) + batch.shape[1:], batch.dtype)]
+                )
+        out = self._pnet_pyramid(
+            self.variables["pnet"], batch, scales=tuple(scales),
+            k=self.pnet_topk,
+        )
+        return (tuple(scales), out)
+
     def detect_batch(
         self, frames: Sequence[np.ndarray], staged=None
     ) -> list[np.ndarray]:
@@ -397,42 +435,44 @@ class MTCNNDetector:
         bit-for-bit (same pyramid, thresholds, regression, rounding).
         """
         frames = [np.asarray(f) for f in frames]
-        T = len(frames)
-        if T == 0:
-            return []
-        H, W = frames[0].shape[:2]
-        # scale pyramid with facenet-pytorch's exact accumulation (detect_face:
-        # minl *= factor each level, checked before appending)
-        m = 12.0 / self.min_face_size
-        minl = min(H, W) * m
-        scales: list[float] = []
-        scale_i = m
-        while minl >= 12:
-            scales.append(scale_i)
-            scale_i *= self.factor
-            minl *= self.factor
+        pre = self._dispatch_stage1(frames, staged=staged)
+        return self._finish_detect(frames, pre)
 
-        # stage 1: the whole proposal pyramid is ONE device dispatch; only
-        # top-k-compacted cells come back (see pnet_pyramid above)
-        per_frame: list[list] = [[] for _ in range(T)]
-        if not scales:  # image smaller than the minimum face
-            return [np.zeros((0, 5)) for _ in range(T)]
-        if staged is not None:
-            batch = staged  # pre-uploaded + bucket-padded (stage_frames)
-        else:
-            batch = np.stack(frames)  # uint8, lossless transfer
-            tb = _bucket_frames(T)
-            if tb > T:  # quantize the frame axis so XLA programs repeat
-                batch = np.concatenate(
-                    [batch, np.zeros((tb - T,) + batch.shape[1:], batch.dtype)]
-                )
-        all_scores, all_idx, all_reg = (
-            np.asarray(a)[:T]
-            for a in self._pnet_pyramid(
-                self.variables["pnet"], batch, scales=tuple(scales),
-                k=self.pnet_topk,
+    def detect_videos(
+        self, videos: Sequence[Sequence[np.ndarray]]
+    ) -> list[list[np.ndarray]]:
+        """Pipelined detection over several videos.
+
+        One-video-deep lookahead: video ``i+1``'s stage-1 pyramid is
+        dispatched (async) before video ``i``'s host-side NMS and R/O-Net
+        stages run, so device pyramid compute and host box bookkeeping
+        overlap instead of strictly alternating. Results are bit-identical
+        to per-video ``detect_batch`` calls.
+        """
+        videos = [[np.asarray(f) for f in fs] for fs in videos]
+        results: list[list[np.ndarray]] = []
+        pre = self._dispatch_stage1(videos[0]) if videos else None
+        for i, fs in enumerate(videos):
+            nxt = (
+                self._dispatch_stage1(videos[i + 1])
+                if i + 1 < len(videos)
+                else None
             )
-        )
+            results.append(self._finish_detect(fs, pre))
+            pre = nxt
+        return results
+
+    def _finish_detect(self, frames, pre) -> list[np.ndarray]:
+        """Host NMS + R/O-Net stages for one video's dispatched stage 1."""
+        T = len(frames)
+        if pre is None:
+            return []
+        scales, handles = pre
+        if not scales:
+            return [np.zeros((0, 5)) for _ in range(T)]
+        H, W = frames[0].shape[:2]
+        per_frame: list[list] = [[] for _ in range(T)]
+        all_scores, all_idx, all_reg = (np.asarray(a)[:T] for a in handles)
         off = 0
         for s in scales:
             gh, gw = _pnet_grid(int(H * s + 1), int(W * s + 1))

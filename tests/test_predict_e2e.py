@@ -144,6 +144,57 @@ def test_predict_videos_batched_matches_single(synthetic_video, tmp_path_factory
     )
 
 
+def test_predict_videos_pipelined_detection_matches_single(
+    synthetic_video, tmp_path_factory
+):
+    """predict_videos with a REAL cascade detector takes the pipelined
+    staging path (stage-1 pyramid of video i+1 dispatched before video i's
+    host stages) and must match per-video predict_video bit-for-bit."""
+    from mintime_tpu.predict import predict_videos
+    from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
+
+    # random-init cascade at lowered thresholds so candidates survive
+    detector = MTCNNDetector(
+        MTCNNDetector.init_variables(), thresholds=(0.3, 0.2, 0.2)
+    )
+
+    path2 = str(tmp_path_factory.mktemp("videos3") / "synthetic3.mp4")
+    writer = cv2.VideoWriter(path2, cv2.VideoWriter_fourcc(*"mp4v"), 10, (64, 48))
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        frame = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        cv2.circle(frame, (34, 26), 12, (190, 150, 110), -1)
+        writer.write(frame)
+    writer.release()
+
+    cfg = MintimeConfig(model=SMALL)
+    model = MintimeVideoClassifier(
+        SMALL, backbone="efficientnet-b0", head="timesformer", require_attention=True
+    )
+    frames = np.zeros((1, SMALL.num_frames, 32, 32, 3), np.float32)
+    mask = np.ones((1, SMALL.num_frames), bool)
+    id_mask = np.ones((1, SMALL.num_frames, SMALL.num_frames), bool)
+    size_emb = np.ones((1, SMALL.num_frames), np.int32)
+    positions = np.arange(1 + SMALL.num_frames)[None].astype(np.int32)
+    variables = jax.jit(model.init)(
+        jax.random.key(0), frames, mask, id_mask, size_emb, positions
+    )
+
+    paths = [synthetic_video, path2]
+    try:
+        batched = predict_videos(
+            paths, model, variables, cfg, detector, FakeEmbedder(), batch_size=2
+        )
+    except ValueError as e:
+        pytest.skip(f"random-init cascade found no faces here: {e}")
+    for path, res in zip(paths, batched):
+        single = predict_video(
+            path, model, variables, cfg, detector, FakeEmbedder()
+        )
+        np.testing.assert_allclose(res.probability, single.probability, rtol=1e-5)
+        assert res.frames_per_identity == single.frames_per_identity
+
+
 def test_predict_videos_mesh_matches_single(synthetic_video):
     """predict_videos with a (data, model) mesh — the multi-chip serving
     path — returns the same results as the single-device path (batch rows

@@ -94,6 +94,29 @@ class TestMTCNNStructure:
             found += len(b)
         assert found > 0, "lowered thresholds must yield candidates"
 
+    def test_detect_videos_matches_per_video(self):
+        """The pipelined multi-video path (stage-1 dispatched one video
+        ahead of the host NMS/stages) is bit-identical to per-video
+        detect_batch calls."""
+        det = MTCNNDetector(
+            MTCNNDetector.init_variables(), thresholds=(0.4, 0.4, 0.4)
+        )
+        rng = np.random.default_rng(5)
+        videos = [
+            [(rng.random((60, 80, 3)) * 255).astype(np.uint8) for _ in range(4)]
+            for _ in range(3)
+        ]
+        pipelined = det.detect_videos(videos)
+        assert len(pipelined) == 3
+        found = 0
+        for fs, got in zip(videos, pipelined):
+            want = det.detect_batch(fs)
+            assert len(got) == len(want)
+            for g, w in zip(got, want):
+                np.testing.assert_array_equal(g, w)
+                found += len(g)
+        assert found > 0, "lowered thresholds must yield candidates"
+
     def test_detect_batch_staged_frames_identical(self):
         """stage_frames + staged= (the upload-once serving/bench path)
         returns exactly what the plain numpy path returns."""
