@@ -449,6 +449,195 @@ def bench_slowfast(jax, jnp, cfg):
     return bs * iters / (time.perf_counter() - t0)
 
 
+def _synthetic_mp4s(root: str, n_videos: int = 3, seconds: int = 10, fps: int = 30):
+    """Write n 720p clips with two drifting face-like blobs (the BASELINE
+    e2e scenario shape: 300 frames, multi-identity)."""
+    import cv2
+
+    rng = np.random.default_rng(0)
+    paths = []
+    for v in range(n_videos):
+        path = os.path.join(root, f"clip_{v}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (1280, 720))
+        base = rng.integers(0, 255, (720, 1280, 3), dtype=np.uint8)
+        for i in range(seconds * fps):
+            frame = base.copy()
+            cx = 320 + int(40 * np.sin(i / 30))
+            cv2.circle(frame, (cx, 300), 90, (190, 150, 120), -1)
+            cv2.circle(frame, (900, 400 + i % 20), 60, (170, 140, 110), -1)
+            w.write(frame)
+        w.release()
+        paths.append(path)
+    return paths
+
+
+def _procedural_boxes(half_h: int, half_w: int):
+    """Two half-res identity tracks (large + small), the e2e scenario's
+    deterministic detections — the random-init cascade finds no real faces,
+    so downstream stages run on these instead (detection COMPUTE still runs
+    in full; only the box values are synthesized)."""
+    def at(i):
+        cx = 160 + 20 * np.sin(i / 30)
+        return [
+            [cx - 45, 105, cx + 45, 195, 0.99],
+            [405, 170 + (i % 20) / 2.0, 485, 230 + (i % 20) / 2.0, 0.98],
+        ]
+
+    return at
+
+
+class _BenchDetector:
+    """MTCNNDetector wrapper for the e2e bench: runs the FULL cascade
+    (stage-1 pyramid dispatch, host NMS, R/O-Net stages) for honest timing,
+    then merges procedural boxes so the pipeline proceeds at a realistic
+    2-identity load (the random-init weights alone detect nothing and would
+    abort at 'No faces found')."""
+
+    def __init__(self, det):
+        self._det = det
+
+    def __getattr__(self, name):
+        return getattr(self._det, name)
+
+    def _dispatch_stage1(self, frames, staged=None):
+        return (frames[0].shape[:2], self._det._dispatch_stage1(frames, staged))
+
+    def _finish_detect(self, frames, pre):
+        (h, w), inner = pre
+        real = self._det._finish_detect(frames, inner)
+        boxes_at = _procedural_boxes(h, w)
+        return [
+            r if len(r) else np.asarray(boxes_at(t), np.float32)
+            for t, r in enumerate(real)
+        ]
+
+    def detect_batch(self, frames, staged=None):
+        frames = [np.asarray(f) for f in frames]
+        return self._finish_detect(
+            frames, self._dispatch_stage1(frames, staged=staged)
+        )
+
+
+def bench_end_to_end(jax, jnp, cfg):
+    """The north star's literal metric: end-to-end predict videos/sec —
+    decode → batched MTCNN → 1/sec crops → FaceNet embed + cluster →
+    assemble → flagship forward (reference predict.py:484-563), on 300-frame
+    720p clips.
+
+    Returns ``(pipelined_vps, compute_vps, stage_ms, embed_faces_per_sec)``:
+
+    * ``pipelined_vps`` — wall-clock of the REAL ``predict_videos`` serving
+      path (detection pipelined one video deep), INCLUDING the per-call
+      frame upload; on the remote-TPU tunnel that upload is the bottleneck
+      (~200 MB/clip at link_mbps), so this is the rig-bound lower bound.
+    * ``compute_vps`` — per-stage sequential sum with detection on staged
+      (pre-uploaded) frames: the attached-host rate, and the number that
+      tracks the framework round over round (VERDICT r3 #4).
+    * ``stage_ms`` — per-video ms by stage (decode / detect / crop /
+      embed_cluster / assemble / forward).
+    * ``embed_faces_per_sec`` — the FaceNet embedding stage's own rate
+      (jitted InceptionResnetV1 over a video's crops).
+    """
+    import shutil
+    import tempfile
+
+    from mintime_tpu.config import MintimeConfig
+    from mintime_tpu.models.classifier import MintimeVideoClassifier
+    from mintime_tpu.predict import (
+        assemble_inputs,
+        cluster_crops,
+        crops_from_frames,
+        decode_for_predict,
+        predict_videos,
+    )
+    from mintime_tpu.preprocessing.cluster_faces import FaceEmbedder
+    from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
+
+    root = tempfile.mkdtemp(prefix="mintime_e2e_")
+    try:
+        paths = _synthetic_mp4s(root)
+        n = len(paths)
+        detector = _BenchDetector(MTCNNDetector(MTCNNDetector.init_variables()))
+        embedder = FaceEmbedder(FaceEmbedder.init_variables())
+        full_cfg = MintimeConfig(model=cfg)
+        model = MintimeVideoClassifier(
+            cfg, backbone="efficientnet-b0", head="timesformer",
+            require_attention=True, dtype=jnp.bfloat16, use_pallas=True,
+        )
+        from __graft_entry__ import _example_batch
+
+        ex = _example_batch(n, cfg)
+        args = tuple(
+            ex[k]
+            for k in ("frames", "mask", "identities_mask", "size_embedding", "positions")
+        )
+        variables = jax.device_put(jax.jit(model.init)(jax.random.key(0), *args))
+
+        # ---- sequential per-stage timing (detection on staged frames) ----
+        stage = {k: 0.0 for k in
+                 ("decode", "detect", "crop", "embed_cluster", "assemble", "forward")}
+        # warm the embedder's jitted program before timing: crops pad to the
+        # same power-of-2 batch (>=8), so one dummy call at the scenario's
+        # crop count compiles the exact program the timed loop reuses
+        embedder([np.zeros((140, 140, 3), np.uint8)] * 20)
+        staged_rows = []
+        embed_faces = embed_secs = 0.0
+        for path in paths:
+            t0 = time.perf_counter()
+            half, full, fps = decode_for_predict(path)
+            stage["decode"] += time.perf_counter() - t0
+            staged = detector.stage_frames(half)  # upload excluded on purpose
+            detector.detect_batch(half, staged=staged)  # warm programs
+            t0 = time.perf_counter()
+            per_frame = detector.detect_batch(half, staged=staged)
+            stage["detect"] += time.perf_counter() - t0
+            boxes = {str(i): b[:, :4].tolist() for i, b in enumerate(per_frame)}
+            t0 = time.perf_counter()
+            crops = crops_from_frames(full, boxes, fps)
+            stage["crop"] += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            identities, _ = cluster_crops(crops, embedder)
+            dt = time.perf_counter() - t0
+            stage["embed_cluster"] += dt
+            embed_faces += len(crops)
+            embed_secs += dt
+            t0 = time.perf_counter()
+            batch, _, _ = assemble_inputs(
+                identities, (half[0].shape[1] * 2, half[0].shape[0] * 2), full_cfg
+            )
+            stage["assemble"] += time.perf_counter() - t0
+            staged_rows.append(batch)
+        from mintime_tpu.predict import _jitted_forward
+
+        fwd = _jitted_forward(model)  # the same cached program predict_videos uses
+        stacked = {k: np.concatenate([r[k] for r in staged_rows]) for k in staged_rows[0]}
+        fargs = tuple(
+            stacked[k]
+            for k in ("frames", "mask", "identities_mask", "size_embedding", "positions")
+        )
+        _sync(fwd(variables, *fargs))  # compile
+        t0 = time.perf_counter()
+        _sync(fwd(variables, *fargs))
+        stage["forward"] += time.perf_counter() - t0
+        compute_vps = n / sum(stage.values())
+        stage_ms = {k: round(v / n * 1000.0, 1) for k, v in stage.items()}
+
+        # ---- the real pipelined serving path, upload included ----
+        predict_videos(  # warm every program (detector + embedder + fwd)
+            paths[:1], model, variables, full_cfg, detector, embedder,
+            batch_size=n,
+        )
+        t0 = time.perf_counter()
+        predict_videos(
+            paths, model, variables, full_cfg, detector, embedder, batch_size=n
+        )
+        pipelined_vps = n / (time.perf_counter() - t0)
+        embed_fps = embed_faces / embed_secs if embed_secs else 0.0
+        return pipelined_vps, compute_vps, stage_ms, embed_fps
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_link(jax):
     """Host→device link bandwidth (MB/s). On the axon tunnel this is the
     number that bounds the loader-fed train pipeline (a 19 MB uint8 batch
@@ -530,10 +719,25 @@ def main():
     baseline_vps = _stage("baseline", bench_baseline, jax, jnp, cfg)
     conv_vps = _stage("conv_timesformer", bench_conv_timesformer, jax, jnp)
     det_fps, det_compute_fps = _stage("detection", bench_detection, jax)
+    e2e_vps, e2e_compute_vps, e2e_stage_ms, embed_fps = _stage(
+        "end_to_end", bench_end_to_end, jax, jnp, cfg
+    )
     link_mbps = _stage("link", bench_link, jax)
+
+    host_cores = os.cpu_count() or 1
+    # rig-independent train rate (VERDICT r3 #4): the host pipeline is
+    # per-sample independent (host_ms_per_video × cores) and the chip-side
+    # step rate is measured — their min is what an attached-host production
+    # rig sustains, free of the day's tunnel bandwidth
+    train_projected = min(host_pack_vps * host_cores, train_step_vps)
 
     extra = {
         "link_mbps": round(link_mbps, 1),
+        "end_to_end_predict_videos_per_sec": round(e2e_vps, 3),
+        "end_to_end_compute_videos_per_sec": round(e2e_compute_vps, 3),
+        "end_to_end_stage_ms_per_video": e2e_stage_ms,
+        "embed_faces_per_sec": round(embed_fps, 1),
+        "train_videos_per_sec_projected": round(train_projected, 2),
         "train_videos_per_sec_per_chip": round(train_vps, 2),
         "train_step_videos_per_sec_per_chip": round(train_step_vps, 2),
         "host_videos_per_sec": round(host_pack_vps, 2),
@@ -541,7 +745,7 @@ def main():
         "host_io_videos_per_sec": round(host_io_pack_vps, 2),
         "host_io_png_videos_per_sec": round(host_io_png_vps, 2),
         "host_ms_per_video": round(1000.0 / host_pack_vps, 2),
-        "host_cores": os.cpu_count(),
+        "host_cores": host_cores,
         "slowfast_forward_videos_per_sec_per_chip": round(slowfast_vps, 2),
         "baseline_forward_videos_per_sec_per_chip": round(baseline_vps, 2),
         "conv_timesformer_forward_videos_per_sec_per_chip": round(conv_vps, 2),
