@@ -12,7 +12,10 @@ Replaces the reference's ``torch.nn.DataParallel`` single-process replication
 
 Multi-host pods: call ``jax.distributed.initialize()`` before
 :func:`make_mesh`; ``jax.devices()`` then spans all hosts and the same code
-scales over DCN with no model change.
+scales over DCN with no model change. This is executed code, not a claim:
+``__graft_entry__.dryrun_multihost`` (wired as ``tests/test_multihost.py``)
+runs a dp=4 × tp=2 train + eval step across TWO separate OS processes of 4
+virtual devices each, gloo collectives standing in for DCN.
 """
 
 from __future__ import annotations
