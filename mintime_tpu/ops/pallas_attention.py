@@ -786,6 +786,20 @@ def divided_attention(qkv_g, qkv_cls, seq_bias, row_bias, *, heads: int,
     * large G (conv-TimeSformer time axis, G≈1280 × L=8) — token rows tile
       over G (``_token_rows_kernel``), the CLS row is an XLA reduction.
 
+    The regime split was re-litigated head-to-head on v5e (2026-08-19,
+    ``experiments/attn_kernel_variants.py``): in ISOLATION the G-tiled +
+    XLA-CLS path measures 19% faster at the flagship SPACE geometry
+    (G=16 × L=49: 0.84 vs 1.03 ms/call), but routing the space axis to it
+    inside the full flagship forward measured **-25%** end to end
+    (616 → 461 videos/s, interleaved best-of-4) — the XLA CLS row's
+    re-read of qkv forces relayouts of the surrounding graph that the
+    standalone harness's free jit-boundary layouts hide. A chunked-dense
+    variant (P groups packed into the 128-sublane MXU tile, dense logits
+    + block-diagonal mask — 7× fewer MXU issues on the logits phase) lost
+    at BOTH geometries (1.32 vs 1.07 / 1.03 ms): the P× wider softmax adds
+    more VPU work than the saved MXU issues. The whole-slice kernel stays
+    the dispatch for both flagship axes on measurement, not taste.
+
     Args:
       qkv_g: (B, G, L, 3*inner) head-major packed token projections —
         columns ordered (head, [q|k|v], dim_head) so TP column-shards are
