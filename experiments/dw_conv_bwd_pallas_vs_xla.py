@@ -23,6 +23,13 @@ the bench batch (32 videos × 16 faces = 512 images):
               is deferred to XLA on the tiny (K², OW·C) partial.
   pl_chan     Pallas wgrad, channels-in-lanes (NB,H,W,C) blocks — natural
               layout at C≥240 (lane pad ≤ 1.07×), taps shift sublanes.
+  pl_roll     Pallas wgrad, chan layout, NO window slices at all: dy is
+              zero-padded to x's padded shape and each (kh,kw) tap is a
+              circular pltpu.roll on the H (outer) / W (sublane) axes —
+              wraparound lands on the zero borders, so it's exact.
+  xla_shift   pure-XLA control: K² static slices of x_pad × dy, fused
+              multiply-reduce — no Mosaic involved, tests whether XLA
+              fuses the shifted reductions into one streaming pass.
 
 Timing: on-device lax.scan chain (output feeds next input), one fetch at
 the end — a host-side loop measures the axon tunnel's ~15 ms dispatch
@@ -31,6 +38,34 @@ dy read+write) is identical across variants, so deltas are real; the
 printed `floor` column is (x+dy bytes)/819 GB/s for calibration.
 
 Run on TPU:  python experiments/dw_conv_bwd_pallas_vs_xla.py [--check]
+
+SETTLED (measured on v5e, 2026-08-19) — XLA's conv lowering keeps the
+weight grad; every alternative either fails Mosaic compile, miscompiles,
+or loses:
+
+  geometry          floor   xla_wgrad   xla_shift   pl_roll      pl_flat/pl_chan
+  b0  112² C32  K3   1.00      3.411      14.423    Mosaic-500   Mosaic-500
+  b2  56²  C144 K3   1.13      4.096      16.238    Mosaic-500*  Mosaic-500
+  b4  28²  C240 K5   0.47      2.657      16.536    Mosaic-500   Mosaic-500
+  b6  14²  C480 K3   0.24      1.110       3.832    2.163*       Mosaic-500
+  b8  14²  C672 K5   0.33      2.394      11.505    Mosaic-500   Mosaic-500
+  b12 7²   C1152 K5  0.14      1.225       5.259    4.109*       chan compiles, loses
+  b15 7²   C1152 K3  0.14      1.361       2.632    Mosaic-500   Mosaic-500
+
+  (ms per bench batch of 512 images; Mosaic-500 = tpu_compile_helper
+  subprocess crash, an internal compiler failure with no diagnostics;
+  * = where pl_roll DID compile its output is WRONG, rel err ≈ 1.3-1.5 —
+  pltpu.roll on non-lane axes is not a trustworthy circular roll on this
+  toolchain, so even its rare compiling geometries are unusable.)
+
+Conclusion: the wgrad's ~3.5 ms streaming floor (vs XLA's ~16.3 ms total)
+is real but unreachable here — three Pallas layouts (slice-window flat,
+slice-window chan, roll-only chan) all die in Mosaic, and the pure-XLA
+shifted-reduction control shows XLA will NOT fuse K² shifted reductions
+into one pass (2-7× slower than its conv lowering). The train path keeps
+jax.vjp of the XLA conv; this file is the reproduction for that decision,
+same standard as experiments/dw_conv_pallas_vs_xla.py (forward) and
+experiments/attn_kernel_variants.py.
 """
 from __future__ import annotations
 
@@ -192,6 +227,68 @@ def pl_chan_wgrad(x, dy, *, K: int, NB: int | None = None):
     return part.reshape(K, K, 1, C)
 
 
+# ---------------------------------------------------------------- pl_roll
+def _roll_kernel(x_ref, dy_ref, o_ref, *, K: int):
+    from jax.experimental.pallas import tpu as pltpu
+
+    p = K // 2
+    xp = x_ref[...].astype(jnp.float32)    # (NB, Hp, Wp, C)
+    dyp = dy_ref[...].astype(jnp.float32)  # (NB, Hp, Wp, C) zero-padded
+    Hp, Wp = xp.shape[1], xp.shape[2]
+    rows = []
+    for kh in range(K):
+        sh = (p - kh) % Hp
+        a = pltpu.roll(dyp, sh, axis=1) if sh else dyp
+        for kw in range(K):
+            sw = (p - kw) % Wp
+            b = pltpu.roll(a, sw, axis=2) if sw else a
+            rows.append((xp * b).sum(axis=(0, 1, 2)))
+    acc = jnp.stack(rows)  # (K², C)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        o_ref[...] = acc
+
+    @pl.when(pl.program_id(0) > 0)
+    def _acc():
+        o_ref[...] += acc
+
+
+def pl_roll_wgrad(x, dy, *, K: int, NB: int | None = None):
+    n, H, W, C = x.shape
+    p = K // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    dyp = jnp.pad(dy, ((0, 0), (p, p), (p, p), (0, 0)))
+    if NB is None:
+        cp = -(-C // 128) * 128
+        wp = -(-(W + 2 * p) // 8) * 8
+        NB = _pick_nb(n, (H + 2 * p) * wp * cp * 2 * 2 * 2)  # 2 padded ins
+    part = pl.pallas_call(
+        functools.partial(_roll_kernel, K=K),
+        grid=(n // NB,),
+        in_specs=[pl.BlockSpec((NB, H + 2 * p, W + 2 * p, C),
+                               lambda i: (i, 0, 0, 0))] * 2,
+        out_specs=pl.BlockSpec((K * K, C), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((K * K, C), jnp.float32),
+    )(xp, dyp)
+    return part.reshape(K, K, 1, C)
+
+
+# -------------------------------------------------------------- xla_shift
+def xla_shift_wgrad(x, dy, *, K: int):
+    """Pure-XLA control: K² shifted fused multiply-reduces (no Mosaic)."""
+    n, H, W, C = x.shape
+    p = K // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0))).astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    rows = []
+    for kh in range(K):
+        for kw in range(K):
+            xs = jax.lax.slice(xp, (0, kh, kw, 0), (n, kh + H, kw + W, C))
+            rows.append(jnp.sum(xs * dyf, axis=(0, 1, 2)))
+    return jnp.stack(rows).reshape(K, K, 1, C)
+
+
 # ---------------------------------------------------------------- timing
 @functools.lru_cache(maxsize=None)
 def _chained(fn_name, H, C, K, s):
@@ -200,6 +297,8 @@ def _chained(fn_name, H, C, K, s):
         "xla_dgrad": lambda x, dy, w: xla_dgrad(x, dy, w, s),
         "pl_flat": lambda x, dy, w: pl_flat_wgrad(x, dy, K=K),
         "pl_chan": lambda x, dy, w: pl_chan_wgrad(x, dy, K=K),
+        "pl_roll": lambda x, dy, w: pl_roll_wgrad(x, dy, K=K),
+        "xla_shift": lambda x, dy, w: xla_shift_wgrad(x, dy, K=K),
     }
     fn = fns[fn_name]
 
@@ -231,7 +330,9 @@ def check(H, C, K, s):
         xla_wgrad(x.astype(jnp.float32), dy.astype(jnp.float32),
                   w.astype(jnp.float32), s)
     )
-    for name, fn in (("pl_flat", pl_flat_wgrad), ("pl_chan", pl_chan_wgrad)):
+    for name, fn in (("pl_flat", pl_flat_wgrad), ("pl_chan", pl_chan_wgrad),
+                     ("pl_roll", pl_roll_wgrad),
+                     ("xla_shift", lambda x, dy, K: xla_shift_wgrad(x, dy, K=K))):
         try:
             got = np.asarray(fn(x, dy, K=K))
         except Exception as e:
@@ -254,7 +355,8 @@ def main():
         print(f"=== {tag}  floor {floor:.2f} ms ===")
         if args.check and s == 1:
             check(H, C, K, s)
-        for name in ("xla_wgrad", "xla_dgrad", "pl_flat", "pl_chan"):
+        for name in ("xla_wgrad", "xla_dgrad", "pl_flat", "pl_chan",
+                     "pl_roll", "xla_shift"):
             if s != 1 and name.startswith("pl_"):
                 continue
             try:

@@ -156,7 +156,14 @@ def main(argv=None):
     p.add_argument("--grad", action="store_true", default=False,
                    help="profile forward+backward (grad of sum-of-logits "
                         "through the custom_vjp kernels) instead of the "
-                        "forward alone")
+                        "forward alone. NOTE: the wrapper's per-leaf grad "
+                        "reductions show up as a harness-only reduce_sum "
+                        "row; prefer --train for step-true accounting")
+    p.add_argument("--train", action="store_true", default=False,
+                   help="profile the REAL jitted train step "
+                        "(train.make_train_step: fwd + bwd through the "
+                        "custom_vjp kernels + BN stats + optimizer update), "
+                        "models 0/1 only")
     opt = p.parse_args(argv)
 
     import jax
@@ -197,6 +204,40 @@ def main(argv=None):
         )
         args = _example_inputs(cfg, opt.batch)
 
+    if opt.train:
+        if opt.model not in (0, 1):
+            p.error("--train supports models 0 (baseline) / 1 (timesformer)")
+        from mintime_tpu.config import MintimeConfig
+        from mintime_tpu.parallel.mesh import make_mesh
+        from mintime_tpu.train import create_train_state, jit_steps
+
+        names = ("frames", "mask", "identities_mask", "size_embedding",
+                 "positions")
+        batch = dict(zip(names, _example_inputs(cfg, opt.batch)))
+        batch["labels"] = np.random.default_rng(1).integers(
+            0, 2, size=(opt.batch,)
+        ).astype(np.float32)
+        batch = {k: jax.device_put(v) for k, v in batch.items()}
+        state = create_train_state(
+            jax.random.key(0), model, batch, MintimeConfig(model=cfg)
+        )
+        rng = jax.random.key(1)
+        mesh = make_mesh(jax.devices()[:1])
+        with jax.set_mesh(mesh):
+            train_step, _ = jit_steps(model, mesh, pos_weight=0.8)
+            state, m = train_step(state, batch, rng)
+            sync(m)  # compile / warm up outside the trace
+            t0 = time.perf_counter()
+            with trace(opt.trace_dir) as td:
+                for _ in range(opt.iters):
+                    state, m = train_step(state, batch, rng)
+                sync(m)
+            dt = time.perf_counter() - t0
+        print(f"{opt.iters} x batch {opt.batch} train step: "
+              f"{opt.batch * opt.iters / dt:.1f} videos/s (trace: {td})")
+        _print_op_table(td, opt)
+        return
+
     args = tuple(jax.device_put(a) for a in args)
     variables = jax.device_put(jax.jit(model.init)(jax.random.key(0), *args))
     if opt.grad:
@@ -221,8 +262,20 @@ def main(argv=None):
     what = "fwd+bwd" if opt.grad else "forward"
     print(f"{opt.iters} x batch {opt.batch} {what}: "
           f"{opt.batch * opt.iters / dt:.1f} videos/s (trace: {td})")
+    _print_op_table(td, opt)
+
+
+def _print_op_table(trace_dir: str, opt):
+    """Top-N per-op rows plus two aggregates: by op type, and by graph
+    section (fwd / bwd / optimizer-or-harness) inferred from the XLA
+    metadata path — ``transpose(jvp(...))`` ops are the backward,
+    ``jvp(...)`` without transpose the forward, a custom_vjp
+    ``pallas_call`` is classified by its fwd/bwd kernel name, and
+    everything outside the loss (optimizer update, harness reductions)
+    lands in 'other'."""
     try:
-        rows = [r for r in op_stats(td, top=opt.top) if r["type"] != "IDLE"]
+        rows = [r for r in op_stats(trace_dir, top=10 ** 6)
+                if r["type"] != "IDLE"]
     except Exception as e:  # xprof missing / malformed trace
         print(f"(op table unavailable: {e})")
         return
@@ -230,10 +283,32 @@ def main(argv=None):
         print("(per-op device stats need a TPU backend; trace is still "
               "TensorBoard-loadable)")
         return
-    for r in rows:
+    for r in rows[:opt.top]:
         print(f"{r['self_ms'] / opt.iters:8.3f} ms/call  "
               f"{str(r['type'])[:24]:24} {str(r['bound_by'])[:10]:10} "
               f"{r['name'][:70]}")
+
+    def section(r):
+        name = r["name"] or ""
+        if "_bwd" in name or "transpose(jvp" in name:
+            return "bwd"
+        if "jvp(" in name or "_fwd" in name:
+            return "fwd"
+        return "other"
+
+    for key, label in ((section, "graph section"),
+                       (lambda r: f"{section(r)}:{r['type']}",
+                        "section:op-type")):
+        agg, calls = {}, {}
+        for r in rows:
+            k = key(r)
+            agg[k] = agg.get(k, 0.0) + r["self_ms"]
+            calls[k] = calls.get(k, 0) + 1
+        total = sum(agg.values())
+        print(f"\n-- total device self-time by {label} "
+              f"(of {total / opt.iters:.1f} ms/call) --")
+        for k, ms in sorted(agg.items(), key=lambda kv: -kv[1])[:16]:
+            print(f"{ms / opt.iters:8.3f} ms/call  {calls[k]:4d} ops  {k}")
 
 
 if __name__ == "__main__":
