@@ -195,21 +195,36 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(collate(samples))
-            q.put(None)
+            # Same failure contract as process mode: a dataset error must
+            # reach the consumer as a loud RuntimeError, never a silent
+            # producer death that leaves the train loop blocked on q.get()
+            # forever (SURVEY §5.3 failure detection).
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_idx)
+                        )
+                        q.put((collate(samples), None))
+                q.put((None, None))
+            except Exception as e:
+                q.put((None, f"{type(e).__name__}: {e}"))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
         try:
             while True:
-                item = q.get()
+                item, err = q.get()
+                if err is not None:
+                    raise RuntimeError(f"loader worker failed: {err}")
                 if item is None:
                     return
                 yield self._shard(item)
         finally:
             stop.set()
+            try:  # unblock a producer parked on a full queue
+                q.get_nowait()
+            except queue.Empty:
+                pass

@@ -199,6 +199,28 @@ def test_loader_process_mode(faces_dir):
         np.testing.assert_array_equal(ba["labels"], bb["labels"])
 
 
+def test_loader_surfaces_dataset_errors(faces_dir):
+    """A dataset exception must raise RuntimeError in BOTH worker modes —
+    never a silent producer death that leaves the consumer blocked on the
+    queue forever (SURVEY §5.3; regression: thread mode hung on the
+    video-dims ValueError from dataset.py:_video_area)."""
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            raise ValueError("unknown original video dimensions")
+
+    import pytest
+
+    for mode in ("thread", "process"):
+        dl = DataLoader(Broken(), batch_size=4, shuffle=False, num_workers=2,
+                        worker_mode=mode)
+        with pytest.raises(RuntimeError, match="loader worker"):
+            list(dl)
+
+
 def test_extractor_unfreeze_mask(faces_dir):
     """Only the last-k extractor blocks (and all head params) get updates."""
     import jax.numpy as jnp
