@@ -65,6 +65,13 @@ import numpy as np
 
 REFERENCE_PROXY_VIDEOS_PER_SEC = 20.0  # documented proxy, not a measurement
 
+#: MEASURED reference predict.py end-to-end rate on CPU, same synthetic
+#: clips as bench_end_to_end (experiments/ref_predict_cpu_proxy.py,
+#: 2026-08-19: decode 5218 / detect 13162 / crop 987 / embed+cluster 555 /
+#: predict 5290 ms per video). The GPU baseline is unrunnable here; this is
+#: the honest measured anchor for ``end_to_end_vs_reference_cpu``.
+REF_CPU_E2E_VIDEOS_PER_SEC = 0.03967
+
 #: peak dense bf16 FLOP/s per chip by device kind (public spec sheets)
 PEAK_BF16_FLOPS = {
     "v5 lite": 197e12,  # TPU v5e
@@ -736,6 +743,11 @@ def main():
         "end_to_end_predict_videos_per_sec": round(e2e_vps, 3),
         "end_to_end_compute_videos_per_sec": round(e2e_compute_vps, 3),
         "end_to_end_stage_ms_per_video": e2e_stage_ms,
+        # measured reference predict.py CPU rate on the SAME clips —
+        # experiments/ref_predict_cpu_proxy.py (0.03967 videos/s, 2026-08-19)
+        "end_to_end_vs_reference_cpu": round(
+            e2e_compute_vps / REF_CPU_E2E_VIDEOS_PER_SEC, 2
+        ),
         "embed_faces_per_sec": round(embed_fps, 1),
         "train_videos_per_sec_projected": round(train_projected, 2),
         "train_videos_per_sec_per_chip": round(train_vps, 2),
