@@ -78,9 +78,16 @@ class FaceEmbedder:
             fixed_image_standardization,
         )
 
+        import jax.numpy as jnp
+
         model = InceptionResnetV1()
+        # uint8 in, cast on device: the host→device transfer is 4× smaller
+        # (on the bench rig's tunnel that is most of the embed stage) and
+        # uint8→f32 cast before standardization is value-identical
         self._fn = jax.jit(
-            lambda v, x: model.apply(v, fixed_image_standardization(x))
+            lambda v, x: model.apply(
+                v, fixed_image_standardization(x.astype(jnp.float32))
+            )
         )
 
     @staticmethod
@@ -110,13 +117,13 @@ class FaceEmbedder:
                 np.asarray(Image.fromarray(c).resize(size, Image.BILINEAR))
                 for c in crops
             ]
-        ).astype(np.float32)
+        )  # uint8 — cast to f32 happens device-side inside the jitted fn
         b = 8
         while b < n:
             b *= 2
         if b > n:
             resized = np.concatenate(
-                [resized, np.zeros((b - n,) + resized.shape[1:], np.float32)]
+                [resized, np.zeros((b - n,) + resized.shape[1:], resized.dtype)]
             )
         emb = np.asarray(self._fn(self.variables, resized))
         return emb[:n]
