@@ -306,6 +306,12 @@ class MTCNNDetector:
     # stage-1 threshold, scale pnet_topk up proportionally — detect_batch
     # warns when the cap clips an above-threshold cell.
     pnet_topk: int = 512
+    #: device→host fetch cap: of the per-level top-K survivors, only the
+    #: global top-k_fetch cells ACROSS all pyramid levels are read back per
+    #: frame (the readback, not the convnet, is stage 1's wall-clock).
+    #: None → pnet_topk, which keeps the stress-test contract: raising
+    #: pnet_topk for low thresholds raises the fetch budget with it.
+    pnet_fetch_k: int | None = None
 
     def __post_init__(self):
         self._rnet = jax.jit(partial(RNet().apply))
@@ -314,19 +320,26 @@ class MTCNNDetector:
         # Stage-1 pyramid as ONE XLA program: raw uint8 frames cross the
         # host→device link once (lossless — the pyramid is computed on
         # device in fp32 via area-resize matmuls, reference numerics), every
-        # level's P-Net runs in the same dispatch, and only the top-K cells
-        # per frame and level (score, flat index, 4 regressions) come back —
-        # the dense (T, h', w', 6) maps and the 12-levels-of-resized-frames
-        # traffic never touch the link. On the axon tunnel (~25-55 MB/s)
-        # transfer+dispatch dominate the tiny convnet; this is the
-        # difference between ~5 and >25 fps. Level results are concatenated
-        # along the k axis so the host does 3 fetches, not 3·levels.
-        @partial(jax.jit, static_argnames=("scales", "k"))
-        def pnet_pyramid(variables, frames, scales, k):
+        # level's P-Net runs in the same dispatch, and only a compacted
+        # GLOBAL top-k_fetch of cells per frame (score, within-level flat
+        # index, level id, 4 regressions) comes back — the dense
+        # (T, h', w', 6) maps, the 12-levels-of-resized-frames traffic, AND
+        # the per-level top-K slack never touch the link. Two-tier
+        # compaction: per-level top-k bounds the concat (capacity
+        # guarantee, k ≥ any level's above-threshold count), then one
+        # global top-k over all levels picks what is actually fetched —
+        # above-threshold cells per frame number in the tens, so fetching
+        # 512 globally instead of 512 × levels cuts stage-1 readback ~5.5×
+        # (measured 78.5 → 14.4 KB/frame; the fetch, not the convnet, is
+        # the detect stage's wall-clock on both the tunnel and PCIe).
+        # Per-level boundary scores (T, levels) ride along so the host can
+        # still detect per-level truncation exactly.
+        @partial(jax.jit, static_argnames=("scales", "k", "k_fetch"))
+        def pnet_pyramid(variables, frames, scales, k, k_fetch):
             x = frames.astype(jnp.float32)
             h, w = x.shape[1:3]
-            scores_all, idx_all, reg_all = [], [], []
-            for s in scales:
+            scores_all, idx_all, lvl_all, reg_all, bound_all = [], [], [], [], []
+            for li, s in enumerate(scales):
                 # facenet-pytorch level size: int(dim * scale + 1)
                 sh, sw = int(h * s + 1), int(w * s + 1)
                 lvl = jnp.einsum(
@@ -344,11 +357,25 @@ class MTCNNDetector:
                 top_scores, idx = jax.lax.top_k(scores, min(k, gh * gw))
                 scores_all.append(top_scores)
                 idx_all.append(idx)
+                lvl_all.append(jnp.full(idx.shape, li, jnp.int32))
                 reg_all.append(jnp.take_along_axis(reg, idx[..., None], axis=1))
+                bound_all.append(top_scores[:, -1])
+            scores = jnp.concatenate(scores_all, axis=1)
+            kf = min(k_fetch, scores.shape[1])
+            # global top-k is score-desc with ties broken by concat index —
+            # within a level that is exactly the per-level top_k order, so
+            # the host-side per-level candidate order (hence NMS) is
+            # bit-identical to fetching every level in full
+            g_scores, g_pos = jax.lax.top_k(scores, kf)
+            take = lambda a: jnp.take_along_axis(a, g_pos, axis=1)
             return (
-                jnp.concatenate(scores_all, axis=1),
-                jnp.concatenate(idx_all, axis=1),
-                jnp.concatenate(reg_all, axis=1),
+                g_scores,
+                take(jnp.concatenate(idx_all, axis=1)),
+                take(jnp.concatenate(lvl_all, axis=1)),
+                jnp.take_along_axis(
+                    jnp.concatenate(reg_all, axis=1), g_pos[..., None], axis=1
+                ),
+                jnp.stack(bound_all, axis=1),  # (T, levels) truncation probe
             )
 
         self._pnet_pyramid = pnet_pyramid
@@ -418,6 +445,7 @@ class MTCNNDetector:
         out = self._pnet_pyramid(
             self.variables["pnet"], batch, scales=tuple(scales),
             k=self.pnet_topk,
+            k_fetch=self.pnet_fetch_k or self.pnet_topk,
         )
         return (tuple(scales), out)
 
@@ -472,44 +500,64 @@ class MTCNNDetector:
             return [np.zeros((0, 5)) for _ in range(T)]
         H, W = frames[0].shape[:2]
         per_frame: list[list] = [[] for _ in range(T)]
-        all_scores, all_idx, all_reg = (np.asarray(a)[:T] for a in handles)
-        off = 0
-        for s in scales:
-            gh, gw = _pnet_grid(int(H * s + 1), int(W * s + 1))
-            kk = min(self.pnet_topk, gh * gw)
-            top_scores = all_scores[:, off : off + kk]
-            top_idx = all_idx[:, off : off + kk]
-            top_reg = all_reg[:, off : off + kk]
-            off += kk
-            if kk < gh * gw and (top_scores[:, -1] >= self.thresholds[0]).any():
-                import warnings
+        all_scores, all_idx, all_lvl, all_reg, bounds = (
+            np.asarray(a)[:T] for a in handles
+        )
+        grids = [_pnet_grid(int(H * s + 1), int(W * s + 1)) for s in scales]
+        n_fetched = all_scores.shape[1]
+        n_slots = sum(min(self.pnet_topk, gh * gw) for gh, gw in grids)
+        import warnings
 
+        for li, s in enumerate(scales):
+            gh, gw = grids[li]
+            if self.pnet_topk < gh * gw and (
+                bounds[:, li] >= self.thresholds[0]
+            ).any():
                 warnings.warn(
                     f"P-Net top-{self.pnet_topk} truncated above-threshold"
                     f" cells at scale {s:.3f}; raise MTCNNDetector.pnet_topk",
                     stacklevel=2,
                 )
-            for t in range(T):
+        if n_fetched < n_slots and (
+            all_scores[:, -1] >= self.thresholds[0]
+        ).any():
+            warnings.warn(
+                f"P-Net global fetch top-{n_fetched} truncated"
+                " above-threshold cells; raise MTCNNDetector.pnet_fetch_k",
+                stacklevel=2,
+            )
+        for t in range(T):
+            keep_t = all_scores[t] >= self.thresholds[0]
+            if not keep_t.any():
+                continue
+            lv_t, idx_t = all_lvl[t][keep_t], all_idx[t][keep_t]
+            sc_t, rg_t = all_scores[t][keep_t], all_reg[t][keep_t]
+            for li, s in enumerate(scales):
                 # generateBoundingBox: mask = probs >= threshold; box corners
                 # q1 = floor((2·cell_xy + 1)/scale), q2 = floor((2·cell_xy +
                 # 12)/scale); per-scale NMS 0.5 runs on the UNregressed boxes
-                # (regression is applied once, after the 0.7 pass below)
-                keep_k = top_scores[t] >= self.thresholds[0]
+                # (regression is applied once, after the 0.7 pass below).
+                # The global top-k is score-desc with concat-index
+                # tie-break, so this level's cells appear here in exactly
+                # the order the per-level top_k produced — NMS inputs are
+                # bit-identical to the unfetched-compaction path.
+                keep_k = lv_t == li
                 if not keep_k.any():
                     continue
+                gh, gw = grids[li]
                 # float32 THROUGHOUT, like the reference's torch tensors: the
                 # floor() result genuinely differs between f32 and f64 at
                 # some cells (e.g. 3/0.6 is 4.9999998f but 5.0000000000000009
                 # in f64), so dtype is part of the contract
                 stride, cell = np.float32(2), np.float32(12)
-                score = top_scores[t][keep_k].astype(np.float32)
-                ys, xs = np.divmod(top_idx[t][keep_k], gw)
+                score = sc_t[keep_k].astype(np.float32)
+                ys, xs = np.divmod(idx_t[keep_k], gw)
                 xy = np.stack([xs, ys], axis=1).astype(np.float32) * stride
                 s32 = np.float32(s)
                 q1 = np.floor((xy + np.float32(1)) / s32)
                 q2 = np.floor((xy + cell) / s32)
                 boxes = np.concatenate(
-                    [q1, q2, score[:, None], top_reg[t][keep_k]], axis=1
+                    [q1, q2, score[:, None], rg_t[keep_k]], axis=1
                 )
                 keep = nms_tv(boxes[:, :4], boxes[:, 4], 0.5)
                 per_frame[t].append(boxes[keep])
