@@ -312,6 +312,16 @@ class MTCNNDetector:
     #: None → pnet_topk, which keeps the stress-test contract: raising
     #: pnet_topk for low thresholds raises the fetch budget with it.
     pnet_fetch_k: int | None = None
+    #: lazy-fetch head size: the global top-k_fetch outputs are split on
+    #: device into a HEAD of this many score-desc cells (always fetched)
+    #: and a TAIL (fetched only when the head's last score is still ≥ the
+    #: stage-1 threshold, i.e. when above-threshold cells might extend past
+    #: the head). Above-threshold cells per frame number in the tens on
+    #: real footage, so the common case reads ~4× fewer bytes per frame —
+    #: measured 50 ms device pyramid vs ~340 ms of readback at 512 slots
+    #: (experiments/detect_stage_profile.py); bit-exact because tail cells
+    #: below threshold are discarded by the very first host mask anyway.
+    pnet_head_k: int = 128
 
     def __post_init__(self):
         self._rnet = jax.jit(partial(RNet().apply))
@@ -334,8 +344,8 @@ class MTCNNDetector:
         # the detect stage's wall-clock on both the tunnel and PCIe).
         # Per-level boundary scores (T, levels) ride along so the host can
         # still detect per-level truncation exactly.
-        @partial(jax.jit, static_argnames=("scales", "k", "k_fetch"))
-        def pnet_pyramid(variables, frames, scales, k, k_fetch):
+        @partial(jax.jit, static_argnames=("scales", "k", "k_fetch", "head_k"))
+        def pnet_pyramid(variables, frames, scales, k, k_fetch, head_k):
             x = frames.astype(jnp.float32)
             h, w = x.shape[1:3]
             scores_all, idx_all, lvl_all, reg_all, bound_all = [], [], [], [], []
@@ -368,13 +378,19 @@ class MTCNNDetector:
             # bit-identical to fetching every level in full
             g_scores, g_pos = jax.lax.top_k(scores, kf)
             take = lambda a: jnp.take_along_axis(a, g_pos, axis=1)
+            g_idx = take(jnp.concatenate(idx_all, axis=1))
+            g_lvl = take(jnp.concatenate(lvl_all, axis=1))
+            g_reg = jnp.take_along_axis(
+                jnp.concatenate(reg_all, axis=1), g_pos[..., None], axis=1
+            )
+            # head/tail split: outputs stay device-resident until fetched,
+            # so returning the score-desc prefix separately lets the host
+            # read only ``head_k`` cells per frame unless the boundary score
+            # proves above-threshold cells spill into the tail
+            hk = min(head_k, kf)
             return (
-                g_scores,
-                take(jnp.concatenate(idx_all, axis=1)),
-                take(jnp.concatenate(lvl_all, axis=1)),
-                jnp.take_along_axis(
-                    jnp.concatenate(reg_all, axis=1), g_pos[..., None], axis=1
-                ),
+                g_scores[:, :hk], g_idx[:, :hk], g_lvl[:, :hk], g_reg[:, :hk],
+                g_scores[:, hk:], g_idx[:, hk:], g_lvl[:, hk:], g_reg[:, hk:],
                 jnp.stack(bound_all, axis=1),  # (T, levels) truncation probe
             )
 
@@ -446,6 +462,7 @@ class MTCNNDetector:
             self.variables["pnet"], batch, scales=tuple(scales),
             k=self.pnet_topk,
             k_fetch=self.pnet_fetch_k or self.pnet_topk,
+            head_k=self.pnet_head_k,
         )
         return (tuple(scales), out)
 
@@ -500,11 +517,27 @@ class MTCNNDetector:
             return [np.zeros((0, 5)) for _ in range(T)]
         H, W = frames[0].shape[:2]
         per_frame: list[list] = [[] for _ in range(T)]
-        all_scores, all_idx, all_lvl, all_reg, bounds = (
-            np.asarray(a)[:T] for a in handles
-        )
+        hs, hi, hl, hr, ts, ti, tl, tr, bounds_h = handles
+        head = [np.asarray(a)[:T] for a in (hs, hi, hl, hr)]
+        bounds = np.asarray(bounds_h)[:T]
+        if ts.shape[1] and (head[0][:, -1] >= self.thresholds[0]).any():
+            # the head's boundary score is still above threshold somewhere:
+            # above-threshold cells may spill into the tail — fetch it.
+            # Otherwise every tail score is ≤ the boundary < threshold and
+            # the first host mask below would discard it, so skipping the
+            # fetch is bit-exact (see ``pnet_head_k``).
+            tail = [np.asarray(a)[:T] for a in (ts, ti, tl, tr)]
+            all_scores, all_idx, all_lvl, all_reg = (
+                np.concatenate([h, t], axis=1) for h, t in zip(head, tail)
+            )
+        else:
+            all_scores, all_idx, all_lvl, all_reg = head
         grids = [_pnet_grid(int(H * s + 1), int(W * s + 1)) for s in scales]
-        n_fetched = all_scores.shape[1]
+        # the fetch BUDGET (head+tail): the truncation warning asks whether
+        # this budget clipped above-threshold cells — when the tail was
+        # skipped, all_scores[:, -1] is the head boundary (< threshold), so
+        # the warning correctly cannot fire
+        n_fetched = head[0].shape[1] + ts.shape[1]
         n_slots = sum(min(self.pnet_topk, gh * gw) for gh, gw in grids)
         import warnings
 
