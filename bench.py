@@ -564,7 +564,9 @@ def bench_end_to_end(jax, jnp, cfg):
     try:
         paths = _synthetic_mp4s(root)
         n = len(paths)
-        detector = _BenchDetector(MTCNNDetector(MTCNNDetector.init_variables()))
+        detector = _BenchDetector(
+            MTCNNDetector(MTCNNDetector.init_variables(), channel_order="bgr")
+        )
         embedder = FaceEmbedder(FaceEmbedder.init_variables())
         full_cfg = MintimeConfig(model=cfg)
         model = MintimeVideoClassifier(
@@ -591,7 +593,7 @@ def bench_end_to_end(jax, jnp, cfg):
         embed_faces = embed_secs = 0.0
         for path in paths:
             t0 = time.perf_counter()
-            half, full, fps = decode_for_predict(path)
+            half, full, fps = decode_for_predict(path, channel_order="bgr")
             stage["decode"] += time.perf_counter() - t0
             staged = detector.stage_frames(half)  # upload excluded on purpose
             detector.detect_batch(half, staged=staged)  # warm programs

@@ -24,9 +24,14 @@ from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
 
 
 def synthetic_clip(t=300, h=360, w=640, seed=0):
-    """Two face-like blobs per frame, bench_end_to_end's scenario shape."""
+    """Two face-like blobs per frame over a full-range noise base — the
+    SAME content class as bench.py's clips (`_synthetic_mp4s` writes a
+    rng.integers(0,255) base). The noise matters: a dark base yields zero
+    stage-1 candidates under random-init weights (rnet/onet never run, NMS
+    sees empty lists) and profiles a cascade 3.6x faster than the bench's
+    385 fps — the noisy base reproduces the bench's candidate load."""
     rng = np.random.default_rng(seed)
-    base = rng.integers(0, 40, (h, w, 3), np.uint8)
+    base = rng.integers(0, 255, (h, w, 3), np.uint8)
     frames = []
     for i in range(t):
         f = base.copy()

@@ -57,9 +57,18 @@ class PredictionResult:
     plan: Any = None
 
 
-def decode_for_predict(video_path: str, crop_step: int | None = None):
-    """ONE decode pass serving both predict stages: half-res RGB frames for
+def decode_for_predict(
+    video_path: str, crop_step: int | None = None, channel_order: str = "rgb"
+):
+    """ONE decode pass serving both predict stages: half-res frames for
     detection plus the 1-crop/sec full-res BGR frames for cropping.
+
+    ``channel_order`` is the DETECTION frames' order: ``"rgb"`` converts on
+    the host (cv2.cvtColor ≈ 0.7 s per 300-frame clip on a 1-core host);
+    ``"bgr"`` skips the convert entirely for a detector constructed with
+    ``MTCNNDetector(channel_order="bgr")``, which performs the identical
+    swap on device for free — the staging paths below pick whichever the
+    detector declares.
 
     The reference decodes every video twice — once at half resolution for
     the detector (predict.py:37-59 via face_detector.py:59-83) and again at
@@ -88,7 +97,9 @@ def decode_for_predict(video_path: str, crop_step: int | None = None):
         # permutation so it commutes bit-identically with resize, and doing
         # it on 4× fewer pixels saves ~13% of the decode stage (measured)
         small = cv2.resize(frame, (frame.shape[1] // 2, frame.shape[0] // 2))
-        half.append(cv2.cvtColor(small, cv2.COLOR_BGR2RGB))
+        if channel_order == "rgb":
+            small = cv2.cvtColor(small, cv2.COLOR_BGR2RGB)
+        half.append(small)
         i += 1
     cap.release()
     return half, full, fps
@@ -112,7 +123,9 @@ def detect_video_faces(video_path: str, detector, every_n: int = 1) -> tuple[dic
     (boxes dict, fps, (width, height)) with half-res coordinates."""
     from mintime_tpu.preprocessing.detect_faces import decode_half_res
 
-    frames, fps = decode_half_res(video_path)
+    frames, fps = decode_half_res(
+        video_path, channel_order=getattr(detector, "channel_order", "rgb")
+    )
     if not frames:
         raise ValueError(f"could not decode {video_path}")
     boxes = detect_on_frames(frames, detector, every_n)
@@ -225,8 +238,14 @@ def assemble_inputs(identities: dict, video_dims, cfg: MintimeConfig):
         )
         frames.append(crop)
     frames = transform(frames, rng)
+    # stay uint8 across the host→device link: the val transform is purely
+    # geometric (uint8 in → uint8 out) and the model casts device-side
+    # (classifier.py:61-64, same contract as the train loader's batches).
+    # A (1,16,224,224,3) f32 sequence is 9.6 MB vs 2.4 MB uint8 — measured
+    # 625 ms vs 1.6 ms device-resident for the e2e bench's batch-3 forward
+    # (experiments/e2e_tail_profile.py): the cast WAS the forward stage.
     return {
-        "frames": np.asarray(frames).astype(np.float32)[None],
+        "frames": np.asarray(frames)[None],
         "mask": plan.mask[None],
         "identities_mask": plan.identities_mask[None],
         "size_embedding": size_embeddings[None],
@@ -264,7 +283,9 @@ def _stage_videos_pipelined(
         boxes = boxes_per_video[i] if boxes_per_video else None
         if boxes is not None or not can_pipeline:
             return ("direct", path, boxes)
-        half, full, fps = decode_for_predict(path)
+        half, full, fps = decode_for_predict(
+            path, channel_order=getattr(detector, "channel_order", "rgb")
+        )
         if not half:
             raise ValueError(f"could not decode {path}")
         indices = list(range(0, len(half), every_n))
@@ -312,7 +333,9 @@ def _stage_video(
     if boxes is None:
         # single decode pass feeds both detection (half-res) and the crop
         # walk (1/sec full-res) — the reference decodes the video twice
-        half, full, fps = decode_for_predict(video_path)
+        half, full, fps = decode_for_predict(
+            video_path, channel_order=getattr(detector, "channel_order", "rgb")
+        )
         if not half:
             raise ValueError(f"could not decode {video_path}")
         boxes = detect_on_frames(half, detector, every_n)
@@ -630,7 +653,8 @@ def main(argv=None):
             for f in ("pnet.pt", "rnet.pt", "onet.pt")
         )
     )
-    detector = MTCNNDetector(det_vars)
+    # decode feeds the detector raw BGR; the swap happens on device for free
+    detector = MTCNNDetector(det_vars, channel_order="bgr")
     emb_vars = facenet_params_from_torch(
         torch.load(opt.facenet_weights, map_location="cpu")
     )

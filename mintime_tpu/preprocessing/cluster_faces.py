@@ -118,9 +118,16 @@ class FaceEmbedder:
                 for c in crops
             ]
         )  # uint8 — cast to f32 happens device-side inside the jitted fn
-        b = 8
-        while b < n:
-            b *= 2
+        # pad to a multiple of 8 up to 64 (predict clips carry ~10-40 crops
+        # and the upload is the stage's wall-clock on a slow link: 20→24
+        # ships 25% fewer bytes than 20→32), powers of 2 beyond (bounds the
+        # program count for the offline clustering CLI's large folders)
+        if n <= 64:
+            b = -(-n // 8) * 8
+        else:
+            b = 64
+            while b < n:
+                b *= 2
         if b > n:
             resized = np.concatenate(
                 [resized, np.zeros((b - n,) + resized.shape[1:], resized.dtype)]

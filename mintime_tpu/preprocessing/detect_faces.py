@@ -18,8 +18,16 @@ from typing import Sequence
 import numpy as np
 
 
-def decode_half_res(video_path: str) -> tuple[list[np.ndarray], int]:
-    """Decode all frames at half resolution (face_detector.py:59-83)."""
+def decode_half_res(
+    video_path: str, channel_order: str = "rgb"
+) -> tuple[list[np.ndarray], int]:
+    """Decode all frames at half resolution (face_detector.py:59-83).
+
+    The BGR→RGB swap is a pure channel permutation, so it commutes
+    bit-identically with the resize — done at half res it touches 4× fewer
+    pixels, and with ``channel_order="bgr"`` it is skipped entirely for a
+    detector that swaps on device (``MTCNNDetector(channel_order="bgr")``);
+    cv2.cvtColor over a 300-frame clip costs ~0.7 s on a 1-core host."""
     import cv2
 
     capture = cv2.VideoCapture(video_path)
@@ -29,8 +37,9 @@ def decode_half_res(video_path: str) -> tuple[list[np.ndarray], int]:
         ok, frame = capture.read()
         if not ok:
             break
-        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         frame = cv2.resize(frame, (frame.shape[1] // 2, frame.shape[0] // 2))
+        if channel_order == "rgb":
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         frames.append(frame)
     capture.release()
     return frames, fps
@@ -43,7 +52,9 @@ def detect_video(video_path: str, detector, every_n: int = 1) -> dict:
     pyramid level over ALL selected frames instead of a per-frame loop
     (SURVEY §2.1 "batched MTCNN").
     """
-    frames, _ = decode_half_res(video_path)
+    frames, _ = decode_half_res(
+        video_path, channel_order=getattr(detector, "channel_order", "rgb")
+    )
     indices = list(range(0, len(frames), every_n))
     per_frame = detector.detect_batch([frames[i] for i in indices])
     return {
@@ -113,7 +124,8 @@ def main(argv=None):
     else:
         print("WARNING: no --mtcnn_weights; using random cascade (structural run)")
         variables = MTCNNDetector.init_variables()
-    detector = MTCNNDetector(variables)
+    # decode feeds the detector raw BGR; the swap happens on device for free
+    detector = MTCNNDetector(variables, channel_order="bgr")
 
     videos = sorted(glob.glob(os.path.join(opt.video_path, "**", "*.mp4"), recursive=True))
     missed = process_videos(videos, opt.video_path, opt.output_path, detector, opt.every_n)

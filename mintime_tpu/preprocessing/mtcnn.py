@@ -322,6 +322,15 @@ class MTCNNDetector:
     #: (experiments/detect_stage_profile.py); bit-exact because tail cells
     #: below threshold are discarded by the very first host mask anyway.
     pnet_head_k: int = 128
+    #: color order of the INPUT frames. The cascade's numerics are defined
+    #: on RGB (facenet-pytorch contract); with ``"bgr"`` the detector
+    #: accepts raw cv2-decoded frames and performs the swap ON DEVICE (a
+    #: channel-axis reverse that XLA fuses into the pyramid's first matmul
+    #: for free) / on the tiny R/O-Net candidate crops. Host cv2.cvtColor
+    #: over a 300-frame clip measures ~0.7 s on a 1-core host — pure waste
+    #: when a free device gather produces bit-identical values (BGR→RGB is
+    #: a permutation, so it commutes exactly with resize and crop).
+    channel_order: str = "rgb"
 
     def __post_init__(self):
         self._rnet = jax.jit(partial(RNet().apply))
@@ -344,8 +353,12 @@ class MTCNNDetector:
         # the detect stage's wall-clock on both the tunnel and PCIe).
         # Per-level boundary scores (T, levels) ride along so the host can
         # still detect per-level truncation exactly.
-        @partial(jax.jit, static_argnames=("scales", "k", "k_fetch", "head_k"))
-        def pnet_pyramid(variables, frames, scales, k, k_fetch, head_k):
+        @partial(
+            jax.jit, static_argnames=("scales", "k", "k_fetch", "head_k", "bgr")
+        )
+        def pnet_pyramid(variables, frames, scales, k, k_fetch, head_k, bgr):
+            if bgr:  # free device-side channel swap (see ``channel_order``)
+                frames = frames[..., ::-1]
             x = frames.astype(jnp.float32)
             h, w = x.shape[1:3]
             scores_all, idx_all, lvl_all, reg_all, bound_all = [], [], [], [], []
@@ -386,13 +399,34 @@ class MTCNNDetector:
             # head/tail split: outputs stay device-resident until fetched,
             # so returning the score-desc prefix separately lets the host
             # read only ``head_k`` cells per frame unless the boundary score
-            # proves above-threshold cells spill into the tail
+            # proves above-threshold cells spill into the tail.
+            # Each side is PACKED into one f32 buffer ([score, idx, lvl,
+            # reg4] per cell, bounds appended to the head) because every
+            # separate device array the host reads is its own blocking
+            # transfer — on the remote-TPU tunnel the old 5-array head
+            # (scores/idx/lvl/reg/bounds) paid 5 round-trips per video where
+            # one buffer pays 1 (~128 ms → ~50 ms host stage measured,
+            # experiments/detect_stage_profile.py). f32 is lossless here:
+            # idx < 2^24 (the largest P-Net grid is ~2·10^4 cells) and lvl
+            # is a level ordinal, so both round-trip exactly.
             hk = min(head_k, kf)
-            return (
-                g_scores[:, :hk], g_idx[:, :hk], g_lvl[:, :hk], g_reg[:, :hk],
-                g_scores[:, hk:], g_idx[:, hk:], g_lvl[:, hk:], g_reg[:, hk:],
-                jnp.stack(bound_all, axis=1),  # (T, levels) truncation probe
-            )
+
+            def pack(lo, hi):  # cells [lo:hi) -> (T, (hi-lo)*7)
+                cells = jnp.concatenate(
+                    [
+                        g_scores[:, lo:hi, None],
+                        g_idx[:, lo:hi, None].astype(jnp.float32),
+                        g_lvl[:, lo:hi, None].astype(jnp.float32),
+                        g_reg[:, lo:hi],
+                    ],
+                    axis=-1,
+                )
+                return cells.reshape(cells.shape[0], (hi - lo) * 7)
+
+            head = jnp.concatenate(
+                [pack(0, hk), jnp.stack(bound_all, axis=1)], axis=1
+            )  # (T, hk*7 + levels): cells + per-level truncation probe
+            return head, pack(hk, kf)
 
         self._pnet_pyramid = pnet_pyramid
 
@@ -463,6 +497,7 @@ class MTCNNDetector:
             k=self.pnet_topk,
             k_fetch=self.pnet_fetch_k or self.pnet_topk,
             head_k=self.pnet_head_k,
+            bgr=self.channel_order == "bgr",
         )
         return (tuple(scales), out)
 
@@ -517,16 +552,33 @@ class MTCNNDetector:
             return [np.zeros((0, 5)) for _ in range(T)]
         H, W = frames[0].shape[:2]
         per_frame: list[list] = [[] for _ in range(T)]
-        hs, hi, hl, hr, ts, ti, tl, tr, bounds_h = handles
-        head = [np.asarray(a)[:T] for a in (hs, hi, hl, hr)]
-        bounds = np.asarray(bounds_h)[:T]
-        if ts.shape[1] and (head[0][:, -1] >= self.thresholds[0]).any():
+        head_h, tail_h = handles
+        L = len(scales)
+
+        def unpack(buf, k):  # (T, k*7) -> scores, idx, lvl, reg4
+            cells = buf[:, : k * 7].reshape(buf.shape[0], k, 7)
+            return (
+                cells[..., 0],
+                # f32→int is exact: both were ints < 2^24 before packing
+                cells[..., 1].astype(np.int64),
+                cells[..., 2].astype(np.int32),
+                cells[..., 3:7],
+            )
+
+        head_buf = np.asarray(head_h)[:T]  # ONE transfer: cells + bounds
+        hk = (head_buf.shape[1] - L) // 7
+        head = unpack(head_buf, hk)
+        bounds = head_buf[:, hk * 7 :]
+        tail_k = tail_h.shape[1] // 7
+        if tail_k and (
+            hk == 0 or (head[0][:, -1] >= self.thresholds[0]).any()
+        ):
             # the head's boundary score is still above threshold somewhere:
             # above-threshold cells may spill into the tail — fetch it.
             # Otherwise every tail score is ≤ the boundary < threshold and
             # the first host mask below would discard it, so skipping the
             # fetch is bit-exact (see ``pnet_head_k``).
-            tail = [np.asarray(a)[:T] for a in (ts, ti, tl, tr)]
+            tail = unpack(np.asarray(tail_h)[:T], tail_k)
             all_scores, all_idx, all_lvl, all_reg = (
                 np.concatenate([h, t], axis=1) for h, t in zip(head, tail)
             )
@@ -537,7 +589,7 @@ class MTCNNDetector:
         # this budget clipped above-threshold cells — when the tail was
         # skipped, all_scores[:, -1] is the head boundary (< threshold), so
         # the warning correctly cannot fire
-        n_fetched = head[0].shape[1] + ts.shape[1]
+        n_fetched = hk + tail_k
         n_slots = sum(min(self.pnet_topk, gh * gw) for gh, gw in grids)
         import warnings
 
@@ -662,6 +714,11 @@ class MTCNNDetector:
                 off += len(b)
             else:
                 valids.append(np.ones(0, dtype=bool))
+        if self.channel_order == "bgr":
+            # crop+resize commute with the channel permutation, so swapping
+            # the already-resized candidates is bit-identical to swapping
+            # the source frames — and touches KBs instead of the whole clip
+            crops = crops[..., ::-1]
         # pad candidate count to a bucket so the jit cache stays warm
         bkt = _bucket(n)
         if bkt > n:

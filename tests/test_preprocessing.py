@@ -117,6 +117,27 @@ class TestMTCNNStructure:
                 found += len(g)
         assert found > 0, "lowered thresholds must yield candidates"
 
+    def test_channel_order_bgr_bit_identical(self):
+        """``channel_order="bgr"`` (device-side swap on the pyramid, host
+        swap on the R/O-Net candidate crops) returns exactly what the RGB
+        detector returns on pre-swapped frames — BGR→RGB is a permutation
+        and commutes with resize/crop, so no tolerance is needed."""
+        variables = MTCNNDetector.init_variables()
+        det_rgb = MTCNNDetector(variables, thresholds=(0.4, 0.4, 0.4))
+        det_bgr = MTCNNDetector(
+            variables, thresholds=(0.4, 0.4, 0.4), channel_order="bgr"
+        )
+        rng = np.random.default_rng(6)
+        frames_rgb = [
+            (rng.random((60, 80, 3)) * 255).astype(np.uint8) for _ in range(5)
+        ]
+        frames_bgr = [np.ascontiguousarray(f[..., ::-1]) for f in frames_rgb]
+        want = det_rgb.detect_batch(frames_rgb)
+        got = det_bgr.detect_batch(frames_bgr)
+        assert sum(len(b) for b in want) > 0, "thresholds must yield candidates"
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
     def test_detect_batch_staged_frames_identical(self):
         """stage_frames + staged= (the upload-once serving/bench path)
         returns exactly what the plain numpy path returns."""
