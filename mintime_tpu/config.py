@@ -88,13 +88,8 @@ class ModelConfig:
             raise ValueError(
                 f"num-frames must be one of {VALID_NUM_FRAMES}, got {self.num_frames}"
             )
-        if self.shift_tokens:
-            # dead code in the reference (size_invariant_timesformer.py:31
-            # `amt is 0` bug; every shipped config sets it False) — refuse
-            # rather than silently ignore. PARITY.md #8.
-            raise NotImplementedError(
-                "shift-tokens is unimplemented (off in every reference config)"
-            )
+        if self.shift_tokens and self.dim < 3:
+            raise ValueError("shift-tokens needs dim >= 3 (three shifted chunks)")
 
     @property
     def tokens(self) -> int:

@@ -251,6 +251,44 @@ class DividedAttention(nn.Module):
         )
 
 
+def pre_token_shift(x_tok):
+    """PreTokenShift (reference ``size_invariant_timesformer.py:28-56``):
+    split the channel dim into ``dim // 3``-wide chunks and shift the first
+    three along the frame axis by (-1, 0, +1) — zero-filling the vacated
+    frame — leaving any remainder chunk untouched. Applies to patch tokens
+    only; the CLS token is spliced out in the reference (:43) and is a
+    separate stream here, so it passes through unchanged.
+
+    Reference quirks, decided as follows (PARITY.md #8):
+    * The flag is unreachable in the reference: its wiring passes the bare
+      name ``num_frames`` (:189), a NameError — only ``self.num_frames``
+      exists — so ``shift-tokens: True`` crashes the reference at
+      construction. We implement the evident intent (frames = F).
+    * ``amt is 0`` (:31) is an identity comparison that CPython small-int
+      caching makes behave as ``== 0``; replicated here as a plain ``== 0``.
+    """
+    D = x_tok.shape[-1]
+    dc = D // 3
+
+    def sh(t, amt):
+        if amt == 0:
+            return t
+        # torch F.pad((0,0, 0,0, amt,-amt)): pad |amt| zero frames on one
+        # end of the frame axis, crop the other
+        t = jnp.pad(t, ((0, 0), (max(amt, 0), max(-amt, 0)), (0, 0), (0, 0)))
+        return t[:, :-amt] if amt > 0 else t[:, -amt:]
+
+    return jnp.concatenate(
+        [
+            sh(x_tok[..., :dc], -1),
+            x_tok[..., dc : 2 * dc],
+            sh(x_tok[..., 2 * dc : 3 * dc], 1),
+            x_tok[..., 3 * dc :],
+        ],
+        axis=-1,
+    )
+
+
 class SizeInvariantTimeSformer(nn.Module):
     """Video-level pristine/fake classifier over per-face CNN feature maps.
 
@@ -324,6 +362,10 @@ class SizeInvariantTimeSformer(nn.Module):
             identities_mask = jnp.ones((B, F, F), dtype=bool)
         frame_mask = build_frame_mask(mask, identities_mask)
 
+        # PreNorm wraps PreTokenShift in the reference (:188-192), so the
+        # shift sees NORMALIZED tokens: x + fn(shift(ln(x)))
+        shift = pre_token_shift if cfg.shift_tokens else (lambda t: t)
+
         space_attn_out = time_attn_out = None
         for layer in range(cfg.depth):
             # attention maps are only consumed from the LAST layer
@@ -338,7 +380,7 @@ class SizeInvariantTimeSformer(nn.Module):
                     dtype=self.dtype, use_pallas=self.use_pallas,
                     name=f"{kind}_attn_{layer}",
                 )(
-                    ln(x_tok), ln(x_cls), axis=ax,
+                    shift(ln(x_tok)), ln(x_cls), axis=ax,
                     frame_mask=frame_mask if ax == "time" else None,
                     cls_mask=mask,
                     deterministic=deterministic, need_attn=need_attn,
@@ -352,7 +394,7 @@ class SizeInvariantTimeSformer(nn.Module):
             ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"ff_norm_{layer}")
             ff = GEGLU(cfg.dim, dropout=cfg.ff_dropout, dtype=self.dtype,
                        use_pallas=self.use_pallas, name=f"ff_{layer}")
-            x_tok = x_tok + ff(ln(x_tok), deterministic=deterministic)
+            x_tok = x_tok + ff(shift(ln(x_tok)), deterministic=deterministic)
             x_cls = x_cls + ff(ln(x_cls), deterministic=deterministic)
 
         cls_out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(

@@ -150,6 +150,15 @@ class TestTorchParity:
         # config as dead knobs, so inject placeholders for the torch side
         ref_cfg["model"].setdefault("patch-size", 7)
         ref_cfg["model"].setdefault("shift-tokens", False)
+        if ref_cfg["model"]["shift-tokens"]:
+            # the reference's wiring line reads the bare name ``num_frames``
+            # (size_invariant_timesformer.py:189) — a NameError, only
+            # ``self.num_frames`` exists — so shift-tokens: True crashes it.
+            # Inject the intended value as a module global so the bare name
+            # resolves and the reference's own PreTokenShift runs (PARITY #8).
+            import models.size_invariant_timesformer as ref_mod
+
+            ref_mod.num_frames = cfg.num_frames
         torch.manual_seed(0)
         return RefModel(config=ref_cfg, require_attention=True), torch
 
@@ -189,6 +198,60 @@ class TestTorchParity:
         np.testing.assert_allclose(
             np.asarray(time_a), t_attn[1].numpy(), rtol=1e-4, atol=1e-5
         )
+
+    def test_shift_tokens_matches_reference(self):
+        """shift-tokens (PreTokenShift) fp32 parity — against the reference's
+        own PreTokenShift modules, reachable only after patching the
+        reference's ``num_frames`` NameError (see _reference_model)."""
+        cfg = ModelConfig(**{**SMALL.__dict__, "shift_tokens": True})
+        ref, torch = self._reference_model(cfg)
+        ref.eval()
+
+        from mintime_tpu.utils.torch_convert import timesformer_params_from_torch
+
+        # PreNorm(PreTokenShift(fn)) inserts one extra parameterless ``.fn``
+        # level into the torch keys; strip it so the converter's layout holds
+        sd = {k.replace(".fn.fn.", ".fn."): v for k, v in ref.state_dict().items()}
+        params = {"params": timesformer_params_from_torch(sd, cfg)}
+        x, mask, id_mask, size_emb, positions = make_inputs(cfg)
+
+        model = SizeInvariantTimeSformer(cfg, require_attention=True)
+        logits, (space_a, time_a) = jax.jit(model.apply)(
+            params, x, mask, id_mask, size_emb, positions
+        )
+        with torch.no_grad():
+            t_logits, t_attn = ref(
+                torch.tensor(np.moveaxis(x, -1, 2)),
+                mask=torch.tensor(mask),
+                identities_mask=torch.tensor(id_mask),
+                size_embedding=torch.tensor(size_emb),
+                positions=torch.tensor(positions.astype(np.int64)),
+            )
+        np.testing.assert_allclose(
+            np.asarray(logits), t_logits.numpy(), rtol=1e-3, atol=1e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(space_a), t_attn[0].numpy(), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(time_a), t_attn[1].numpy(), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_pre_token_shift_semantics():
+    """pre_token_shift: chunk 0 pulls from frame f+1, chunk 1 is identity,
+    chunk 2 from frame f-1, remainder untouched; vacated frames are zero."""
+    from mintime_tpu.models.timesformer import pre_token_shift
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 4, 3, 8)).astype(np.float32)  # dc = 2
+    y = np.asarray(pre_token_shift(jnp.asarray(x)))
+    np.testing.assert_array_equal(y[:, :3, :, 0:2], x[:, 1:, :, 0:2])
+    assert (y[:, 3, :, 0:2] == 0).all()
+    np.testing.assert_array_equal(y[..., 2:4], x[..., 2:4])
+    np.testing.assert_array_equal(y[:, 1:, :, 4:6], x[:, :3, :, 4:6])
+    assert (y[:, 0, :, 4:6] == 0).all()
+    np.testing.assert_array_equal(y[..., 6:8], x[..., 6:8])
 
 
 def test_torch_export_roundtrip():
