@@ -129,6 +129,77 @@ def test_fit_and_checkpoint_roundtrip(faces_dir, tmp_path):
 
 
 @pytest.mark.slow
+def test_fit_overfits_learnable_dataset(tmp_path):
+    """The loop LEARNS, not just matches one step: 8 videos whose label is
+    encoded in image brightness, ~50 steps through the real fit() (loader +
+    min-augment + schedule + BN stats + Pallas custom_vjp), and train/val
+    loss must collapse well below chance (ln 2 ≈ 0.693) with accuracy 1.0.
+    Reference behavior target: train.py:314-472 (VERDICT r4 #3)."""
+    from mintime_tpu.evaluate import evaluate
+
+    root = tmp_path / "learnable"
+    rng = np.random.default_rng(7)
+    videos, labels = [], []
+    for v in range(8):
+        label = v % 2
+        vdir = root / f"video_{v}"
+        idir = vdir / "0"
+        idir.mkdir(parents=True)
+        for frame in range(0, 150, 30):
+            base = 60 if label == 0 else 190
+            img = np.clip(
+                base + rng.normal(0, 12, (40, 40, 3)), 0, 255
+            ).astype(np.uint8)
+            cv2.imwrite(str(idir / f"{frame}_0.png"), img)
+        (vdir / "video_dims.json").write_text(
+            '{"width": 1280, "height": 720, "fps": 30}'
+        )
+        videos.append(f"video_{v}")
+        labels.append(float(label))
+    learnable = (str(root), videos, labels)
+
+    cfg = MintimeConfig(
+        model=SMALL,
+        training=TrainingConfig(bs=4, val_bs=4, lr=1e-3, optimizer="Adam"),
+    )
+    mesh = make_mesh(jax.devices()[:4])
+    model = MintimeVideoClassifier(SMALL, backbone="efficientnet-b0",
+                                   head="timesformer", use_pallas=True)
+    example = next(iter(make_loader(learnable, "val")))
+    num_epochs = 24  # 2 steps/epoch × 25 epochs = 50 steps (num_epochs is inclusive)
+    state = create_train_state(
+        jax.random.key(0), model, example, cfg, steps_per_epoch=2,
+        num_epochs=num_epochs,
+    )
+    state, result = fit(
+        model, state, make_loader(learnable, "train", mesh=mesh),
+        make_loader(learnable, "val", mesh=mesh), mesh, cfg,
+        num_epochs=num_epochs, patience=num_epochs + 1, pos_weight=1.0,
+        models_output_path=str(tmp_path / "ckpt"),
+        log_dir=str(tmp_path / "logs"),
+    )
+    import json as _json
+
+    with open(tmp_path / "logs" / "scalars.jsonl") as f:
+        scalars = [_json.loads(line) for line in f]
+    last = {d["tag"]: d["value"] for d in scalars}  # last write per tag wins
+    assert last["Training/Loss"] < 0.35, (
+        f"loop failed to learn: final train loss {last['Training/Loss']:.4f} "
+        "not well below chance (0.693)"
+    )
+    assert last["Training/Accuracy"] == 1.0, last
+    # Eval-mode metrics intentionally NOT asserted tight: BatchNorm running
+    # stats at reference momentum 0.99 are still ~0.99^50 ≈ 60% at their
+    # (0, 1) init after 50 steps, so eval-mode logits lag train-mode badly on
+    # a from-scratch 50-step run — reference-parity behavior, not a loop
+    # defect. We only require the eval path to produce finite loss on the
+    # trained state.
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    report = evaluate(model, variables, make_loader(learnable, "val"))
+    assert report["n_videos"] == 8 and np.isfinite(report["loss"]), report
+
+
+@pytest.mark.slow
 def test_fit_metric_cadence_and_packed_dataset(faces_dir, tmp_path):
     """(a) Async metric draining (one host sync per log window, train_loop
     fit) yields IDENTICAL epoch stats to per-step fetching; (b) training
