@@ -82,6 +82,9 @@ def decode_for_predict(
     """
     import cv2
 
+    from mintime_tpu.preprocessing.detect_faces import _validate_channel_order
+
+    _validate_channel_order(channel_order)
     cap = cv2.VideoCapture(video_path)
     fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
     step = max(crop_step or fps, 1)

@@ -7,31 +7,57 @@ cascade runs per frame, and a ``<video>.json`` of
 is written next to the dataset. Videos with an existing JSON are skipped
 (idempotence, detect_faces.py:36-37); videos where no frame had a face are
 reported as missed (detect_faces.py:59-68).
+
+Unlike the reference's strictly serial video loop, ``process_videos``
+pipelines three stages across consecutive videos: a decode thread reads
+video ``i+2`` while the device runs video ``i+1``'s P-Net pyramid
+(``MTCNNDetector.detect_videos_iter``'s one-video-deep dispatch lookahead)
+while the host finishes video ``i``'s NMS + R/O-Net stages and writes its
+JSON. Results are bit-identical to the serial path
+(``tests/test_preprocessing.py`` covers the driver equivalence).
 """
 
 from __future__ import annotations
 
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Sequence
 
 import numpy as np
 
 
+def _validate_channel_order(channel_order: str) -> None:
+    if channel_order not in ("rgb", "bgr"):
+        raise ValueError(
+            f"channel_order must be 'rgb' or 'bgr', got {channel_order!r}"
+        )
+
+
 def decode_half_res(
-    video_path: str, channel_order: str = "rgb"
-) -> tuple[list[np.ndarray], int]:
+    video_path: str, channel_order: str = "rgb", with_dims: bool = False
+):
     """Decode all frames at half resolution (face_detector.py:59-83).
 
     The BGR→RGB swap is a pure channel permutation, so it commutes
     bit-identically with the resize — done at half res it touches 4× fewer
     pixels, and with ``channel_order="bgr"`` it is skipped entirely for a
     detector that swaps on device (``MTCNNDetector(channel_order="bgr")``);
-    cv2.cvtColor over a 300-frame clip costs ~0.7 s on a 1-core host."""
+    cv2.cvtColor over a 300-frame clip costs ~0.7 s on a 1-core host.
+
+    ``with_dims=True`` additionally returns the ORIGINAL-resolution dims
+    dict (read from the open capture, saving the extra cv2.VideoCapture
+    the dims sidecar used to pay)."""
     import cv2
 
+    _validate_channel_order(channel_order)
     capture = cv2.VideoCapture(video_path)
     fps = int(capture.get(cv2.CAP_PROP_FPS)) or 30
+    dims = {
+        "width": int(capture.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        "height": int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        "fps": fps,
+    }
     frames = []
     while True:
         ok, frame = capture.read()
@@ -42,6 +68,8 @@ def decode_half_res(
             frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
         frames.append(frame)
     capture.release()
+    if with_dims:
+        return frames, fps, dims
     return frames, fps
 
 
@@ -71,31 +99,76 @@ def process_videos(
     every_n: int = 1,
 ) -> list[str]:
     """Detect faces for each video, writing ``<output_root>/<rel>.json``.
-    Returns the list of videos with zero detections (the miss report)."""
-    missed = []
+    Returns the list of videos with zero detections (the miss report).
+
+    Pipelined: one decode-ahead thread + the detector's one-video-deep
+    stage-1 dispatch lookahead (``detect_videos_iter``), so cv2 decode,
+    device pyramid compute, and host NMS/JSON-writing for three consecutive
+    videos overlap. Output files and miss report are identical to the
+    serial per-video path.
+    """
+    channel_order = getattr(detector, "channel_order", "rgb")
+    todo = []
     for video in videos:
         rel = os.path.relpath(video, video_root)
         out_path = os.path.join(output_root, os.path.splitext(rel)[0] + ".json")
         if os.path.exists(out_path):
             continue
-        os.makedirs(os.path.dirname(out_path), exist_ok=True)
-        boxes = detect_video(video, detector, every_n)
-        if not any(v for v in boxes.values()):
-            missed.append(video)
-        with open(out_path, "w") as f:
-            json.dump(boxes, f)
-        # original-resolution dims sidecar for downstream size buckets
-        import cv2
+        todo.append((video, out_path))
 
-        capture = cv2.VideoCapture(video)
-        dims = {
-            "width": int(capture.get(cv2.CAP_PROP_FRAME_WIDTH)),
-            "height": int(capture.get(cv2.CAP_PROP_FRAME_HEIGHT)),
-            "fps": int(capture.get(cv2.CAP_PROP_FPS)) or 30,
-        }
-        capture.release()
-        with open(os.path.splitext(out_path)[0] + ".dims.json", "w") as f:
-            json.dump(dims, f)
+    missed: list[str] = []
+    with ThreadPoolExecutor(max_workers=1) as decode_pool:
+
+        def decode(path):
+            frames, _, dims = decode_half_res(
+                path, channel_order=channel_order, with_dims=True
+            )
+            return frames, dims
+
+        dims_by_index: dict[int, dict] = {}
+        indices_by_video: list[list[int]] = []
+
+        def frame_lists():
+            # bounded decode lookahead: at most 2 decoded videos in flight,
+            # so memory stays O(1) in the dataset size while the decode
+            # thread still runs one video ahead of the detector
+            from collections import deque
+
+            q: deque = deque()
+            nxt = 0
+
+            def submit():
+                nonlocal nxt
+                if nxt < len(todo):
+                    q.append(decode_pool.submit(decode, todo[nxt][0]))
+                    nxt += 1
+
+            submit()
+            submit()
+            i = 0
+            while q:
+                frames, dims = q.popleft().result()
+                submit()
+                dims_by_index[i] = dims
+                idx = list(range(0, len(frames), every_n))
+                indices_by_video.append(idx)
+                yield [frames[j] for j in idx]
+                i += 1
+
+        for i, per_frame in enumerate(detector.detect_videos_iter(frame_lists())):
+            video, out_path = todo[i]
+            boxes = {
+                str(j): b[:, :4].tolist() if len(b) else None
+                for j, b in zip(indices_by_video[i], per_frame)
+            }
+            if not any(v for v in boxes.values()):
+                missed.append(video)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump(boxes, f)
+            # original-resolution dims sidecar for downstream size buckets
+            with open(os.path.splitext(out_path)[0] + ".dims.json", "w") as f:
+                json.dump(dims_by_index.pop(i), f)
     return missed
 
 

@@ -333,6 +333,13 @@ class MTCNNDetector:
     channel_order: str = "rgb"
 
     def __post_init__(self):
+        if self.channel_order not in ("rgb", "bgr"):
+            # the decode helpers convert only on == "rgb" and the detector
+            # swaps only on == "bgr" — any other spelling would silently run
+            # the cascade on wrong-color frames, so fail loudly instead
+            raise ValueError(
+                f"channel_order must be 'rgb' or 'bgr', got {self.channel_order!r}"
+            )
         self._rnet = jax.jit(partial(RNet().apply))
         self._onet = jax.jit(partial(ONet().apply))
 
@@ -406,9 +413,11 @@ class MTCNNDetector:
             # transfer — on the remote-TPU tunnel the old 5-array head
             # (scores/idx/lvl/reg/bounds) paid 5 round-trips per video where
             # one buffer pays 1 (~128 ms → ~50 ms host stage measured,
-            # experiments/detect_stage_profile.py). f32 is lossless here:
-            # idx < 2^24 (the largest P-Net grid is ~2·10^4 cells) and lvl
-            # is a level ordinal, so both round-trip exactly.
+            # experiments/detect_stage_profile.py). f32 round-trips idx and
+            # lvl exactly only while idx < 2^24 — NOT a given (a half-res 4K
+            # input's coarsest level is already ~1.8·10^5 cells, and a
+            # ≥ ~14k×14k still would cross the bound), so _dispatch_stage1
+            # asserts the invariant host-side before dispatch.
             hk = min(head_k, kf)
 
             def pack(lo, hi):  # cells [lo:hi) -> (T, (hi-lo)*7)
@@ -483,6 +492,14 @@ class MTCNNDetector:
             minl *= self.factor
         if not scales:  # image smaller than the minimum face
             return (tuple(), None)
+        # f32 cell-index packing in pnet_pyramid is exact only below 2^24
+        # cells; the largest grid is the first (coarsest-downscale) level's
+        gh0, gw0 = _pnet_grid(int(H * scales[0] + 1), int(W * scales[0] + 1))
+        if gh0 * gw0 >= 2**24:
+            raise ValueError(
+                f"P-Net grid {gh0}x{gw0} exceeds the f32-exact packing bound"
+                " (2^24 cells); raise min_face_size or downscale the input"
+            )
         if staged is not None:
             batch = staged  # pre-uploaded + bucket-padded (stage_frames)
         else:
@@ -529,18 +546,28 @@ class MTCNNDetector:
         overlap instead of strictly alternating. Results are bit-identical
         to per-video ``detect_batch`` calls.
         """
-        videos = [[np.asarray(f) for f in fs] for fs in videos]
-        results: list[list[np.ndarray]] = []
-        pre = self._dispatch_stage1(videos[0]) if videos else None
-        for i, fs in enumerate(videos):
-            nxt = (
-                self._dispatch_stage1(videos[i + 1])
-                if i + 1 < len(videos)
-                else None
-            )
-            results.append(self._finish_detect(fs, pre))
-            pre = nxt
-        return results
+        return list(self.detect_videos_iter(iter(videos)))
+
+    def detect_videos_iter(self, videos):
+        """Streaming form of ``detect_videos``: consumes an ITERATOR of
+        frame-lists and yields each video's boxes as soon as they finish,
+        holding at most two videos' frames in memory. This is the
+        dataset-scale entry point (``preprocessing/detect_faces.py`` drives
+        163,909 videos at ForgeryNet scale through it): the upstream
+        iterator is pulled one video AHEAD of the video being finished, so
+        a lazily-decoding source overlaps its cv2 decode with device
+        pyramid compute AND host NMS/R-O-Net work. Same bit-identical
+        contract as ``detect_batch``.
+        """
+        pending = None  # (frames, stage-1 handle) of the in-flight video
+        for fs in videos:
+            fs = [np.asarray(f) for f in fs]
+            nxt = (fs, self._dispatch_stage1(fs))
+            if pending is not None:
+                yield self._finish_detect(pending[0], pending[1])
+            pending = nxt
+        if pending is not None:
+            yield self._finish_detect(pending[0], pending[1])
 
     def _finish_detect(self, frames, pre) -> list[np.ndarray]:
         """Host NMS + R/O-Net stages for one video's dispatched stage 1."""

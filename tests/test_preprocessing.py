@@ -138,6 +138,42 @@ class TestMTCNNStructure:
         for w, g in zip(want, got):
             np.testing.assert_array_equal(w, g)
 
+    def test_head_tail_split_bit_identical(self):
+        """The packed head/tail split and its lazy tail-fetch condition
+        (mtcnn.py::pnet_head_k): forcing the tail fetch (head_k 0/1, incl.
+        the hk==0 bounds-only head), forcing the skip (huge head_k → empty
+        tail), and a high stage-1 threshold where the boundary score proves
+        the tail skippable must all return bit-identical boxes."""
+        variables = MTCNNDetector.init_variables()
+        rng = np.random.default_rng(7)
+        frames = [
+            (rng.random((60, 80, 3)) * 255).astype(np.uint8) for _ in range(4)
+        ]
+        for thresholds in [(0.4, 0.4, 0.4), (0.7, 0.4, 0.4)]:
+            want = MTCNNDetector(
+                variables, thresholds=thresholds
+            ).detect_batch(frames)
+            for head_k in (0, 1, 4, 10**9):
+                got = MTCNNDetector(
+                    variables, thresholds=thresholds, pnet_head_k=head_k
+                ).detect_batch(frames)
+                assert len(got) == len(want)
+                for g, w in zip(got, want):
+                    np.testing.assert_array_equal(g, w)
+        # the low-threshold sweep must actually produce candidates
+        assert sum(
+            len(b)
+            for b in MTCNNDetector(
+                variables, thresholds=(0.4, 0.4, 0.4)
+            ).detect_batch(frames)
+        ) > 0
+
+    def test_channel_order_validated(self):
+        variables = MTCNNDetector.init_variables()
+        for bad in ("BGR", "Rgb", "gbr", ""):
+            with pytest.raises(ValueError, match="channel_order"):
+                MTCNNDetector(variables, channel_order=bad)
+
     def test_detect_batch_staged_frames_identical(self):
         """stage_frames + staged= (the upload-once serving/bench path)
         returns exactly what the plain numpy path returns."""
@@ -153,6 +189,67 @@ class TestMTCNNStructure:
         assert sum(len(b) for b in plain) > 0
         for p, s in zip(plain, staged):
             np.testing.assert_array_equal(p, s)
+
+
+@pytest.mark.slow
+def test_process_videos_pipelined_matches_serial(tmp_path):
+    """The decode-ahead + detect_videos_iter driver (process_videos) writes
+    exactly the JSONs the serial per-video path (detect_video) produces,
+    plus the dims sidecars, and respects skip-if-done idempotence
+    (reference preprocessing/detect_faces.py:18-68 contract)."""
+    import cv2
+
+    from mintime_tpu.preprocessing.detect_faces import (
+        decode_half_res,
+        detect_video,
+        process_videos,
+    )
+
+    rng = np.random.default_rng(11)
+    vroot = tmp_path / "videos"
+    vroot.mkdir()
+    paths = []
+    for v in range(3):
+        path = str(vroot / f"clip_{v}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (96, 64))
+        for _ in range(5 + v):
+            w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+        w.release()
+        paths.append(path)
+
+    det = MTCNNDetector(
+        MTCNNDetector.init_variables(), thresholds=(0.4, 0.4, 0.4),
+        channel_order="bgr",
+    )
+    out_root = tmp_path / "boxes"
+    missed = process_videos(paths, str(vroot), str(out_root), det, every_n=2)
+
+    serial_missed = []
+    for path in paths:
+        want = detect_video(path, det, every_n=2)
+        if not any(v for v in want.values()):
+            serial_missed.append(path)
+        name = os.path.splitext(os.path.basename(path))[0]
+        with open(out_root / f"{name}.json") as f:
+            got = json.load(f)
+        assert got == json.loads(json.dumps(want)), path
+        with open(out_root / f"{name}.dims.json") as f:
+            dims = json.load(f)
+        assert (dims["width"], dims["height"]) == (96, 64)
+    assert missed == serial_missed
+    assert sum(
+        1 for p in paths for v in detect_video(p, det, every_n=2).values() if v
+    ) > 0, "lowered thresholds must yield detections"
+
+    # idempotence: a second run skips everything (mutate a file; it survives)
+    marker = out_root / "clip_0.json"
+    marker.write_text('{"sentinel": null}')
+    process_videos(paths, str(vroot), str(out_root), det, every_n=2)
+    assert json.loads(marker.read_text()) == {"sentinel": None}
+
+    # decode helper validates channel_order like the detector does
+    with pytest.raises(ValueError, match="channel_order"):
+        decode_half_res(paths[0], channel_order="BGR")
 
 
 class TestCropGeometry:
