@@ -58,7 +58,10 @@ class PredictionResult:
 
 
 def decode_for_predict(
-    video_path: str, crop_step: int | None = None, channel_order: str = "rgb"
+    video_path: str,
+    crop_step: int | None = None,
+    channel_order: str = "rgb",
+    resize_on_device: bool = False,
 ):
     """ONE decode pass serving both predict stages: half-res frames for
     detection plus the 1-crop/sec full-res BGR frames for cropping.
@@ -78,13 +81,29 @@ def decode_for_predict(
     streams the video once, downscaling each frame for detection and
     retaining only the full-res frames the 1/sec crop walk will index.
 
-    Returns ``(half_frames, full_frames: dict[idx → BGR], fps)``.
+    ``resize_on_device=True`` (detectors with ``input_scale=2``): the
+    per-frame host ``cv2.resize`` — measured ~80 ms/video of this stage,
+    experiments/decode_floor.py — is skipped; the detection list holds the
+    FULL-resolution BGR frames and the detector performs the identical 2×
+    area shrink on device as part of its pyramid matmuls. Only meaningful
+    with ``channel_order="bgr"`` (the device swap comes free there too).
+    Measured caveat (decode_floor.py): retaining the full-res clip in host
+    memory costs MORE than the resize it saves on this class of host, so
+    the mode pays only when frames stream to the device incrementally
+    (attached-host serving) rather than being retained in this list.
+
+    Returns ``(det_frames, full_frames: dict[idx → BGR], fps)``.
     """
     import cv2
 
     from mintime_tpu.preprocessing.detect_faces import _validate_channel_order
 
     _validate_channel_order(channel_order)
+    if resize_on_device and channel_order != "bgr":
+        raise ValueError(
+            "resize_on_device implies the device-side channel swap too; "
+            "construct the detector with channel_order='bgr'"
+        )
     cap = cv2.VideoCapture(video_path)
     fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
     step = max(crop_step or fps, 1)
@@ -96,6 +115,10 @@ def decode_for_predict(
             break
         if i % step == 0:
             full[i] = frame
+        if resize_on_device:
+            half.append(frame)  # full-res; detector downscales on device
+            i += 1
+            continue
         # resize FIRST, channel-swap at half res: BGR→RGB is a pure channel
         # permutation so it commutes bit-identically with resize, and doing
         # it on 4× fewer pixels saves ~13% of the decode stage (measured)
@@ -286,8 +309,10 @@ def _stage_videos_pipelined(
         boxes = boxes_per_video[i] if boxes_per_video else None
         if boxes is not None or not can_pipeline:
             return ("direct", path, boxes)
+        scale = getattr(detector, "input_scale", 1)
         half, full, fps = decode_for_predict(
-            path, channel_order=getattr(detector, "channel_order", "rgb")
+            path, channel_order=getattr(detector, "channel_order", "rgb"),
+            resize_on_device=scale > 1,
         )
         if not half:
             raise ValueError(f"could not decode {path}")
@@ -315,7 +340,9 @@ def _stage_videos_pipelined(
             }
             if not any(v for v in boxes.values()):
                 raise ValueError("No faces found.")  # predict.py:55-58
-            h, w = sel[0].shape[:2]
+            scale = getattr(detector, "input_scale", 1)
+            h = sel[0].shape[0] // scale  # detection (half-res) dims
+            w = sel[0].shape[1] // scale
             crops = crops_from_frames(full, boxes, fps)
             identities, _ = cluster_crops(crops, embedder, similarity_threshold)
             yield (path, *assemble_inputs(identities, (w * 2, h * 2), cfg))
@@ -336,15 +363,18 @@ def _stage_video(
     if boxes is None:
         # single decode pass feeds both detection (half-res) and the crop
         # walk (1/sec full-res) — the reference decodes the video twice
+        scale = getattr(detector, "input_scale", 1)
         half, full, fps = decode_for_predict(
-            video_path, channel_order=getattr(detector, "channel_order", "rgb")
+            video_path, channel_order=getattr(detector, "channel_order", "rgb"),
+            resize_on_device=scale > 1,
         )
         if not half:
             raise ValueError(f"could not decode {video_path}")
         boxes = detect_on_frames(half, detector, every_n)
         if not any(v for v in boxes.values()):
             raise ValueError("No faces found.")  # predict.py:55-58
-        h, w = half[0].shape[:2]
+        h = half[0].shape[0] // scale  # detection (half-res) dims
+        w = half[0].shape[1] // scale
         video_dims = (w * 2, h * 2)
         crops = crops_from_frames(full, boxes, fps)
     else:

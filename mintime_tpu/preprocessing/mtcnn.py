@@ -222,15 +222,24 @@ def _area_resize_hw(img: np.ndarray, size: int) -> np.ndarray:
     return np.einsum("bw,awc->abc", _area_matrix(w, size), out, dtype=np.float32)
 
 
-def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int) -> tuple:
+def _crop_resize(
+    img: np.ndarray, boxes: np.ndarray, size: int, scale: int = 1
+) -> tuple:
     """facenet-pytorch crop semantics (``pad`` + slice + ``imresample``):
     boxes are truncated to int, clipped to the 1-based image extent, the
     CLIPPED region (no zero padding) is area-resized to (size, size).
     Returns (crops, valid) — a box whose clipped region is empty is marked
     invalid and must be dropped by the caller (the reference upstream would
     misalign its batch here, a known facenet-pytorch edge; dropping is the
-    sane equivalent since such a box detects nothing)."""
-    H, W = img.shape[:2]
+    sane equivalent since such a box detects nothing).
+
+    ``scale > 1``: boxes are in downscaled coordinates while ``img`` is the
+    full-resolution frame (``MTCNNDetector.input_scale``) — the sliced
+    region is exactly the ×scale image of the downscaled-region slice, so
+    the area resize composes the 2× shrink and the crop resample in one
+    pass."""
+    H = img.shape[0] // scale
+    W = img.shape[1] // scale
     n = len(boxes)
     out = np.zeros((n, size, size, 3), np.float32)
     valid = np.ones(n, dtype=bool)
@@ -241,7 +250,8 @@ def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int) -> tuple:
         if not (ey > y - 1 and ex > x - 1):
             valid[i] = False
             continue
-        out[i] = _area_resize_hw(img[y - 1 : ey, x - 1 : ex].astype(np.float32), size)
+        region = img[(y - 1) * scale : ey * scale, (x - 1) * scale : ex * scale]
+        out[i] = _area_resize_hw(region.astype(np.float32), size)
     return out, valid
 
 
@@ -331,8 +341,31 @@ class MTCNNDetector:
     #: when a free device gather produces bit-identical values (BGR→RGB is
     #: a permutation, so it commutes exactly with resize and crop).
     channel_order: str = "rgb"
+    #: integer downscale applied ON DEVICE before the pyramid: with
+    #: ``input_scale=2`` the detector accepts FULL-resolution frames and
+    #: produces the same half-resolution-coordinate boxes the reference
+    #: contract defines (face_detector.py:78's cv2.resize(w//2, h//2)) —
+    #: but the 2× shrink happens as one more area-resize matmul pair on the
+    #: MXU instead of a per-frame host cv2.resize (~93 ms/video of the
+    #: predict decode stage, experiments/decode_floor.py). R/O-Net
+    #: candidate crops come from the full-res frames with box coords scaled
+    #: by the same factor (the composed area-resize full→24 equals
+    #: half→24 up to fp rounding where window boundaries align; cv2's path
+    #: additionally rounds the half-res image to uint8, so the two modes
+    #: agree to that rounding, not bitwise — tests pin exact equality on
+    #: 2×2-constant frames where both are exact). Measured verdict
+    #: (experiments/decode_floor.py): on a retain-then-detect host pipeline
+    #: the mode is a net LOSS — holding the clip's full-res frames (~830 MB
+    #: vs ~200 MB at half res) costs more in allocator churn than the
+    #: ~80 ms resize it saves — so it pays only where decoded frames
+    #: STREAM to the device instead of being retained (attached-host
+    #: serving with incremental staging; frames cross the link at 4× the
+    #: bytes, so never on the slow remote tunnel).
+    input_scale: int = 1
 
     def __post_init__(self):
+        if self.input_scale < 1:
+            raise ValueError(f"input_scale must be >= 1, got {self.input_scale}")
         if self.channel_order not in ("rgb", "bgr"):
             # the decode helpers convert only on == "rgb" and the detector
             # swaps only on == "bgr" — any other spelling would silently run
@@ -361,13 +394,26 @@ class MTCNNDetector:
         # Per-level boundary scores (T, levels) ride along so the host can
         # still detect per-level truncation exactly.
         @partial(
-            jax.jit, static_argnames=("scales", "k", "k_fetch", "head_k", "bgr")
+            jax.jit,
+            static_argnames=("scales", "k", "k_fetch", "head_k", "bgr", "down"),
         )
-        def pnet_pyramid(variables, frames, scales, k, k_fetch, head_k, bgr):
+        def pnet_pyramid(variables, frames, scales, k, k_fetch, head_k, bgr,
+                         down=1):
             if bgr:  # free device-side channel swap (see ``channel_order``)
                 frames = frames[..., ::-1]
             x = frames.astype(jnp.float32)
             h, w = x.shape[1:3]
+            if down > 1:  # device-side 2× shrink (see ``input_scale``)
+                hh, ww = h // down, w // down
+                x = jnp.einsum(
+                    "ah,thwc->tawc", jnp.asarray(_area_matrix(h, hh)), x,
+                    preferred_element_type=jnp.float32,
+                )
+                x = jnp.einsum(
+                    "bw,tawc->tabc", jnp.asarray(_area_matrix(w, ww)), x,
+                    preferred_element_type=jnp.float32,
+                )
+                h, w = hh, ww
             scores_all, idx_all, lvl_all, reg_all, bound_all = [], [], [], [], []
             for li, s in enumerate(scales):
                 # facenet-pytorch level size: int(dim * scale + 1)
@@ -479,7 +525,9 @@ class MTCNNDetector:
         T = len(frames)
         if T == 0:
             return None
-        H, W = frames[0].shape[:2]
+        # detection coordinates live at the (possibly device-downscaled) dims
+        H = frames[0].shape[0] // self.input_scale
+        W = frames[0].shape[1] // self.input_scale
         # scale pyramid with facenet-pytorch's exact accumulation (detect_face:
         # minl *= factor each level, checked before appending)
         m = 12.0 / self.min_face_size
@@ -515,6 +563,7 @@ class MTCNNDetector:
             k_fetch=self.pnet_fetch_k or self.pnet_topk,
             head_k=self.pnet_head_k,
             bgr=self.channel_order == "bgr",
+            down=self.input_scale,
         )
         return (tuple(scales), out)
 
@@ -577,7 +626,8 @@ class MTCNNDetector:
         scales, handles = pre
         if not scales:
             return [np.zeros((0, 5)) for _ in range(T)]
-        H, W = frames[0].shape[:2]
+        H = frames[0].shape[0] // self.input_scale
+        W = frames[0].shape[1] // self.input_scale
         per_frame: list[list] = [[] for _ in range(T)]
         head_h, tail_h = handles
         L = len(scales)
@@ -735,7 +785,7 @@ class MTCNNDetector:
         off = 0
         for t, b in enumerate(cand):
             if len(b):
-                c, v = _crop_resize(frames[t], b, size)
+                c, v = _crop_resize(frames[t], b, size, scale=self.input_scale)
                 crops[off : off + len(b)] = c
                 valids.append(v)
                 off += len(b)

@@ -95,6 +95,54 @@ def test_predict_end_to_end(synthetic_video, tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 0
 
 
+def test_predict_resize_on_device_wiring(synthetic_video):
+    """A detector with ``input_scale=2`` makes the predict pipeline skip the
+    host half-res resize: the detection stage must receive FULL-resolution
+    BGR frames, while crops, size buckets, and video dims stay identical to
+    the host-resized path given the same (half-res-coordinate) boxes.
+    Cascade-level equivalence of the device downscale itself is pinned in
+    tests/test_preprocessing.py::test_input_scale_device_downscale."""
+    from mintime_tpu.predict import _stage_video
+
+    cfg = MintimeConfig(model=SMALL)
+    seen = {}
+
+    class DeviceScaleDetector:
+        input_scale = 2
+        channel_order = "bgr"
+
+        def detect_batch(self, frames):
+            seen["device"] = frames[0].shape
+            h, w = frames[0].shape[0] // 2, frames[0].shape[1] // 2
+            return [
+                np.array([[w * 0.25, h * 0.25, w * 0.75, h * 0.75, 0.99]])
+                for _ in frames
+            ]
+
+    class HostScaleDetector:
+        channel_order = "bgr"
+
+        def detect_batch(self, frames):
+            seen["host"] = frames[0].shape
+            h, w = frames[0].shape[:2]
+            return [
+                np.array([[w * 0.25, h * 0.25, w * 0.75, h * 0.75, 0.99]])
+                for _ in frames
+            ]
+
+    batch_d, plan_d, store_d = _stage_video(
+        synthetic_video, DeviceScaleDetector(), FakeEmbedder(), cfg, 0.45, 1, None
+    )
+    batch_h, plan_h, store_h = _stage_video(
+        synthetic_video, HostScaleDetector(), FakeEmbedder(), cfg, 0.45, 1, None
+    )
+    assert seen["device"] == (48, 64, 3)  # full-res reaches the detector
+    assert seen["host"] == (24, 32, 3)  # host path still resizes
+    for k in batch_h:
+        np.testing.assert_array_equal(batch_d[k], batch_h[k])
+    assert plan_d.identity_keys == plan_h.identity_keys
+
+
 def test_predict_videos_batched_matches_single(synthetic_video, tmp_path_factory):
     """predict_videos (batched serving path) returns the same probabilities
     and attentions as per-video predict_video, including the padded last
