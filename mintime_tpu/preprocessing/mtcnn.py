@@ -216,10 +216,19 @@ def apply_regression_stage1(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
 
 def _area_resize_hw(img: np.ndarray, size: int) -> np.ndarray:
     """(h, w, c) → (size, size, c) with torch ``interpolate(mode='area')``
-    semantics — facenet-pytorch's ``imresample`` for the R/O-Net crops."""
+    semantics — facenet-pytorch's ``imresample`` for the R/O-Net crops.
+
+    BLAS ``tensordot`` rather than ``np.einsum`` (measured 29 µs vs 251 µs
+    per 50×50→24 crop — einsum's C loop was 85% of the per-candidate cost,
+    ~9 s/video at spread-logit candidate load), and the area matrices come
+    from the memoized :func:`_area_matrix` (≤360 distinct sizes per clip).
+    The BLAS reduction order differs from einsum's in the last ulp; every
+    consumer compares at ≥1e-5 tolerance (tests/test_mtcnn_oracle.py)."""
     h, w = img.shape[:2]
-    out = np.einsum("ah,hwc->awc", _area_matrix(h, size), img, dtype=np.float32)
-    return np.einsum("bw,awc->abc", _area_matrix(w, size), out, dtype=np.float32)
+    out = np.tensordot(_area_matrix(h, size), img, axes=(1, 0))  # (size, w, c)
+    return np.tensordot(
+        _area_matrix(w, size), out, axes=(1, 1)
+    ).transpose(1, 0, 2)  # (size, size, c)
 
 
 def _crop_resize(
@@ -262,17 +271,25 @@ def _bucket(n: int, minimum: int = 8) -> int:
     return b
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=2048)
 def _area_matrix(si: int, so: int) -> np.ndarray:
     """Row-stochastic (so, si) matrix applying torch ``interpolate(mode=
     'area')`` / adaptive-avg-pool semantics: output pixel i uniformly
     averages input pixels [floor(i*si/so), ceil((i+1)*si/so)) — the resize
     the reference's facenet-pytorch pyramid uses. Separable: a 2-D area
-    resize is ``A_h @ img @ A_w.T``, i.e. two MXU matmuls on TPU."""
+    resize is ``A_h @ img @ A_w.T``, i.e. two MXU matmuls on TPU.
+
+    Memoized (crop sizes are small ints, ≤ a few hundred distinct values
+    per clip) and returned READ-ONLY so cache entries cannot be mutated."""
     a = np.zeros((so, si), np.float32)
     for i in range(so):
         lo = (i * si) // so
         hi = -(-((i + 1) * si) // so)
         a[i, lo:hi] = 1.0 / (hi - lo)
+    a.setflags(write=False)
     return a
 
 
@@ -783,19 +800,21 @@ class MTCNNDetector:
         crops = np.zeros((n, size, size, 3), np.float32)
         valids = []
         off = 0
+        bgr = self.channel_order == "bgr"
         for t, b in enumerate(cand):
             if len(b):
-                c, v = _crop_resize(frames[t], b, size, scale=self.input_scale)
+                # BGR inputs: swap as a zero-cost VIEW of the source frame —
+                # the resize's BLAS tensordot copies its operand anyway, so
+                # this is free AND keeps the crops bitwise identical to the
+                # RGB detector on pre-swapped frames (resize-then-swap lands
+                # a different sgemm column order, ~1-ulp off)
+                img = frames[t][..., ::-1] if bgr else frames[t]
+                c, v = _crop_resize(img, b, size, scale=self.input_scale)
                 crops[off : off + len(b)] = c
                 valids.append(v)
                 off += len(b)
             else:
                 valids.append(np.ones(0, dtype=bool))
-        if self.channel_order == "bgr":
-            # crop+resize commute with the channel permutation, so swapping
-            # the already-resized candidates is bit-identical to swapping
-            # the source frames — and touches KBs instead of the whole clip
-            crops = crops[..., ::-1]
         # pad candidate count to a bucket so the jit cache stays warm
         bkt = _bucket(n)
         if bkt > n:
