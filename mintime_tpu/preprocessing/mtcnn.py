@@ -379,6 +379,17 @@ class MTCNNDetector:
     #: serving with incremental staging; frames cross the link at 4× the
     #: bytes, so never on the slow remote tunnel).
     input_scale: int = 1
+    #: run the R/O-Net candidate crop-and-resize ON DEVICE, fused into the
+    #: net's jitted program: the host ships only integer box coordinates
+    #: (~KBs) and the crops are computed as per-candidate area-weight
+    #: matmuls against the already-device-resident frames — MXU work —
+    #: instead of a per-candidate host resample plus a crops upload
+    #: (~200 MB/video at spread-logit candidate load, the dominant staged
+    #: detect cost on a slow link). fp32 matmul reduction order differs
+    #: from the host BLAS path in the last ulp, so results are
+    #: tolerance-equivalent, not bitwise (exact on constant frames);
+    #: default off to preserve the host path's bit-parity contract.
+    device_crops: bool = False
 
     def __post_init__(self):
         if self.input_scale < 1:
@@ -392,6 +403,59 @@ class MTCNNDetector:
             )
         self._rnet = jax.jit(partial(RNet().apply))
         self._onet = jax.jit(partial(ONet().apply))
+
+        # Fused crop-and-resize + R/O-Net as ONE XLA program (device_crops):
+        # for each candidate box the torch-'area' resample is two small
+        # matmuls, crop = Wy @ frame @ Wx^T, whose weight matrices are
+        # computed on device from integer box coords with the EXACT
+        # [floor(i·L/size), ceil((i+1)·L/size)) window arithmetic of
+        # ``_area_matrix`` (int32 products stay < 2^17). lax.map walks the
+        # frame axis so only one frame's (K, size, W, 3) intermediate is
+        # live at a time; the net runs inside the map body and only packed
+        # (T, K, 5) [score, reg4] ever returns to the host — one fetch.
+        @partial(jax.jit, static_argnames=("size", "net", "scale", "bgr"))
+        def fused_stage(variables, frames, boxes, size, net, scale, bgr):
+            # frames: (T, H, W, 3); boxes: (T, K, 4) int32 [x, y, ex, ey],
+            # 1-based clipped DETECTION coords; invalid slots zero-length
+            H, W = frames.shape[1:3]
+            x = frames[..., ::-1] if bgr else frames
+
+            def axis_weights(start1, end1, length):
+                # region rows [(start1-1)·scale, end1·scale) → `size` cells
+                r0 = (start1 - 1) * scale  # (K,)
+                L = (end1 - start1 + 1) * scale  # (K,)
+                i = jnp.arange(size, dtype=jnp.int32)
+                lo = (i[None, :] * L[:, None]) // size  # (K, size)
+                hi = -(-((i[None, :] + 1) * L[:, None]) // size)
+                den = jnp.maximum(hi - lo, 1).astype(jnp.float32)
+                r = jnp.arange(length, dtype=jnp.int32)
+                rel = r[None, None, :] - r0[:, None, None]  # (K, 1, len)
+                inside = (rel >= lo[..., None]) & (rel < hi[..., None])
+                ok = (L > 0)[:, None, None]
+                return jnp.where(inside & ok, 1.0 / den[..., None], 0.0)
+
+            def per_frame(args):
+                frame, bx = args
+                wy = axis_weights(bx[:, 1], bx[:, 3], H)  # (K, size, H)
+                wx = axis_weights(bx[:, 0], bx[:, 2], W)  # (K, size, W)
+                t1 = jnp.einsum(
+                    "ksh,hwc->kswc", wy, frame.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                crops = jnp.einsum(
+                    "ktw,kswc->kstc", wx, t1,
+                    preferred_element_type=jnp.float32,
+                )
+                inp = (crops - 127.5) * 0.0078125
+                if net == "rnet":
+                    prob, reg = RNet().apply(variables, inp)
+                else:
+                    prob, reg, _ = ONet().apply(variables, inp)
+                return jnp.concatenate([prob[:, 1:2], reg], axis=-1)  # (K, 5)
+
+            return jax.lax.map(per_frame, (x, boxes))  # (T, K, 5)
+
+        self._fused_stage = fused_stage
 
         # Stage-1 pyramid as ONE XLA program: raw uint8 frames cross the
         # host→device link once (lossless — the pyramid is computed on
@@ -556,7 +620,7 @@ class MTCNNDetector:
             scale_i *= self.factor
             minl *= self.factor
         if not scales:  # image smaller than the minimum face
-            return (tuple(), None)
+            return (tuple(), None, None)
         # f32 cell-index packing in pnet_pyramid is exact only below 2^24
         # cells; the largest grid is the first (coarsest-downscale) level's
         gh0, gw0 = _pnet_grid(int(H * scales[0] + 1), int(W * scales[0] + 1))
@@ -574,6 +638,11 @@ class MTCNNDetector:
                 batch = np.concatenate(
                     [batch, np.zeros((tb - T,) + batch.shape[1:], batch.dtype)]
                 )
+            if self.device_crops:
+                # retain the device copy so the fused R/O-Net crop programs
+                # read the frames that are already on device (one upload
+                # total; the pyramid call below reuses the same buffer)
+                batch = jax.device_put(batch)
         out = self._pnet_pyramid(
             self.variables["pnet"], batch, scales=tuple(scales),
             k=self.pnet_topk,
@@ -582,7 +651,7 @@ class MTCNNDetector:
             bgr=self.channel_order == "bgr",
             down=self.input_scale,
         )
-        return (tuple(scales), out)
+        return (tuple(scales), out, batch if self.device_crops else None)
 
     def detect_batch(
         self, frames: Sequence[np.ndarray], staged=None
@@ -640,7 +709,7 @@ class MTCNNDetector:
         T = len(frames)
         if pre is None:
             return []
-        scales, handles = pre
+        scales, handles, dev_frames = pre
         if not scales:
             return [np.zeros((0, 5)) for _ in range(T)]
         H = frames[0].shape[0] // self.input_scale
@@ -761,7 +830,7 @@ class MTCNNDetector:
         # stage 2: refine — one bucketed R-Net call over all frames;
         # NMS 0.7 on the pre-regression boxes, then bbreg (+1), then rerec
         cand = self._run_stage_multi(frames, cand, 24, self._rnet, "rnet",
-                                     self.thresholds[1])
+                                     self.thresholds[1], dev_frames)
         for t in range(T):
             b, mv = cand[t]
             if len(b):
@@ -774,7 +843,7 @@ class MTCNNDetector:
         # stage 3: output — one bucketed O-Net call over all frames;
         # bbreg FIRST, then the 'min' NMS with MATLAB +1 areas
         cand = self._run_stage_multi(frames, cand, 48, self._onet, "onet",
-                                     self.thresholds[2])
+                                     self.thresholds[2], dev_frames)
         out = []
         for b, mv in cand:
             if len(b):
@@ -787,16 +856,22 @@ class MTCNNDetector:
             out.append(b)
         return out
 
-    def _run_stage_multi(self, frames, cand, size, net, name, threshold):
+    def _run_stage_multi(self, frames, cand, size, net, name, threshold,
+                         dev_frames=None):
         """Run R/O-Net over all frames' candidates in one bucketed call.
         Returns per frame ``(boxes5, reg4)`` with the refined score in
         column 4 and the raw regression output for the caller to apply in
-        the stage's correct order."""
+        the stage's correct order. With ``device_crops`` and device-resident
+        frames, the crop-and-resize runs fused inside the net's program
+        (``_fused_stage``) and only box coordinates cross the link."""
         counts = [len(b) for b in cand]
         n = sum(counts)
         empty = (np.zeros((0, 5)), np.zeros((0, 4)))
         if n == 0:
             return [empty for _ in cand]
+        if self.device_crops and dev_frames is not None:
+            return self._run_stage_device(cand, size, name, threshold,
+                                          dev_frames)
         crops = np.zeros((n, size, size, 3), np.float32)
         valids = []
         off = 0
@@ -830,6 +905,60 @@ class MTCNNDetector:
             k = len(b)
             p, r, v = prob[off : off + k], reg[off : off + k], valids[t]
             off += k
+            keep = (p > threshold) & v  # fp: score > threshold (strict)
+            if not keep.any():
+                results.append(empty)
+                continue
+            new = b[keep].copy()
+            new[:, 4] = p[keep]
+            results.append((new, r[keep]))
+        return results
+
+
+    def _run_stage_device(self, cand, size, name, threshold, dev_frames):
+        """Device-crop variant of ``_run_stage_multi``: identical pad/clip/
+        valid bookkeeping on the host, but only the (T, K, 4) int32 box
+        coordinates cross the link; crops, resample, and the net run in one
+        fused program and a packed (T, K, 5) [score, reg4] comes back in a
+        single fetch."""
+        Tb = dev_frames.shape[0]
+        H_det = dev_frames.shape[1] // self.input_scale
+        W_det = dev_frames.shape[2] // self.input_scale
+        counts = [len(b) for b in cand]
+        K = _bucket(max(counts), minimum=8)
+        boxes = np.zeros((Tb, K, 4), np.int32)
+        boxes[..., :2] = 1  # [1, 1, 0, 0]: zero-length → zero weights
+        valids = []
+        for t, b in enumerate(cand):
+            if not len(b):
+                valids.append(np.ones(0, dtype=bool))
+                continue
+            ib = np.trunc(b[:, :4]).astype(np.int64)
+            x = np.maximum(ib[:, 0], 1)
+            y = np.maximum(ib[:, 1], 1)
+            ex = np.minimum(ib[:, 2], W_det)
+            ey = np.minimum(ib[:, 3], H_det)
+            v = (ey > y - 1) & (ex > x - 1)
+            valids.append(v)
+            k = len(b)
+            boxes[t, :k, 0] = np.where(v, x, 1)
+            boxes[t, :k, 1] = np.where(v, y, 1)
+            boxes[t, :k, 2] = np.where(v, ex, 0)
+            boxes[t, :k, 3] = np.where(v, ey, 0)
+        out = np.asarray(
+            self._fused_stage(
+                self.variables[name], dev_frames, boxes, size=size, net=name,
+                scale=self.input_scale, bgr=self.channel_order == "bgr",
+            )
+        )  # (Tb, K, 5) — ONE blocking transfer
+        empty = (np.zeros((0, 5)), np.zeros((0, 4)))
+        results = []
+        for t, b in enumerate(cand):
+            k = len(b)
+            if not k:
+                results.append(empty)
+                continue
+            p, r, v = out[t, :k, 0], out[t, :k, 1:5], valids[t]
             keep = (p > threshold) & v  # fp: score > threshold (strict)
             if not keep.any():
                 results.append(empty)

@@ -249,6 +249,86 @@ class TestMTCNNStructure:
         assert n_want > 0
         assert abs(n_want - n_got) <= max(2, 0.2 * n_want), (n_want, n_got)
 
+    def test_device_crops_fused_stage_numerics(self):
+        """The fused on-device crop-and-resize (+net) program reproduces the
+        host path — _crop_resize then R/O-Net — per candidate: same area
+        windows (exact int arithmetic on both sides), matmul fp32 vs BLAS
+        differs only in reduction order, so scores/regressions agree to
+        1e-4. Degenerate and out-of-bounds boxes zero out instead of
+        corrupting neighbours."""
+        import jax.numpy as jnp
+
+        from mintime_tpu.preprocessing.mtcnn import (
+            ONet,
+            RNet,
+            _crop_resize,
+        )
+
+        variables = MTCNNDetector.init_variables()
+        det = MTCNNDetector(variables, device_crops=True)
+        rng = np.random.default_rng(13)
+        frame = (rng.random((60, 80, 3)) * 255).astype(np.uint8)
+        boxes = np.array(
+            [
+                [10.3, 8.7, 42.9, 40.1, 0.9],
+                [-5.0, -3.0, 20.0, 25.0, 0.9],  # clipped at the origin
+                [60.0, 40.0, 95.0, 75.0, 0.9],  # clipped at the extent
+                [30.0, 30.0, 30.4, 30.2, 0.9],  # degenerate → invalid
+                [5.0, 5.0, 12.0, 14.0, 0.9],
+            ],
+            np.float32,
+        )
+        for size, net_name, net in ((24, "rnet", RNet()), (48, "onet", ONet())):
+            crops, valid = _crop_resize(frame, boxes, size)
+            out_host = net.apply(
+                variables[net_name], (crops - 127.5) * 0.0078125
+            )
+            p_host = np.asarray(out_host[0])[:, 1]
+            r_host = np.asarray(out_host[1])
+
+            ib = np.trunc(boxes[:, :4]).astype(np.int64)
+            x = np.maximum(ib[:, 0], 1)
+            y = np.maximum(ib[:, 1], 1)
+            ex = np.minimum(ib[:, 2], 80)
+            ey = np.minimum(ib[:, 3], 60)
+            v = (ey > y - 1) & (ex > x - 1)
+            np.testing.assert_array_equal(v, valid)
+            k = len(boxes)
+            bx = np.zeros((1, 8, 4), np.int32)  # K bucket 8, one frame
+            bx[..., :2] = 1
+            bx[0, :k, 0] = np.where(v, x, 1)
+            bx[0, :k, 1] = np.where(v, y, 1)
+            bx[0, :k, 2] = np.where(v, ex, 0)
+            bx[0, :k, 3] = np.where(v, ey, 0)
+            out_dev = np.asarray(
+                det._fused_stage(
+                    variables[net_name], jnp.asarray(frame[None]), bx,
+                    size=size, net=net_name, scale=1, bgr=False,
+                )
+            )[0]
+            np.testing.assert_allclose(
+                out_dev[:k, 0][valid], p_host[valid], atol=1e-4, rtol=0
+            )
+            np.testing.assert_allclose(
+                out_dev[:k, 1:5][valid], r_host[valid], atol=1e-4, rtol=0
+            )
+
+    def test_device_crops_cascade_constant_exact(self):
+        """Full cascade with device_crops on constant frames is bit-identical
+        to the host path (every area window averages the same constant, so
+        both sides compute on exactly equal crops)."""
+        variables = MTCNNDetector.init_variables()
+        frames = [np.full((60, 80, 3), 137, np.uint8) for _ in range(2)]
+        want = MTCNNDetector(variables, thresholds=(0.4, 0.4, 0.4)).detect_batch(
+            frames
+        )
+        got = MTCNNDetector(
+            variables, thresholds=(0.4, 0.4, 0.4), device_crops=True
+        ).detect_batch(frames)
+        assert sum(len(b) for b in want) > 0
+        for w, g in zip(want, got):
+            np.testing.assert_array_equal(w, g)
+
     def test_channel_order_validated(self):
         variables = MTCNNDetector.init_variables()
         for bad in ("BGR", "Rgb", "gbr", ""):
