@@ -594,6 +594,10 @@ def bench_end_to_end(jax, jnp, cfg):
             MTCNNDetector(
                 _spread_score_logits(MTCNNDetector.init_variables()),
                 channel_order="bgr",
+                # production serving path: crops fused on device — at
+                # spread-logit candidate load the host-crop path would ship
+                # ~200 MB/video of candidate crops up the link
+                device_crops=True,
             )
         )
         embedder = FaceEmbedder(FaceEmbedder.init_variables())
@@ -759,7 +763,12 @@ def bench_detection(jax):
     visible instead of laundered through a best-of max."""
     from mintime_tpu.preprocessing.mtcnn import MTCNNDetector
 
-    det = MTCNNDetector(_spread_score_logits(MTCNNDetector.init_variables()))
+    # device_crops: the production staged path — candidate crops are
+    # computed fused in the R/O-Net programs from the device-resident
+    # frames; only box coords go up and packed scores come back
+    det = MTCNNDetector(
+        _spread_score_logits(MTCNNDetector.init_variables()), device_crops=True
+    )
     rng = np.random.default_rng(0)
     frames = [
         (rng.random((360, 640, 3)) * 255).astype(np.uint8) for _ in range(300)
