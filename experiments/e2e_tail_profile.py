@@ -1,11 +1,43 @@
 """Where do the e2e predict tail stages (forward, embed_cluster) spend time?
 
-bench.py's e2e table charges ~164 ms/video to "forward" and ~185 ms/video
-to "embed_cluster" — both orders of magnitude above the underlying device
-compute (the flagship forward runs 614 videos/s at batch 32; IRV1 at
-batch 32 is single-digit ms). This splits each stage into host prep /
-upload / device call / output fetch so the next optimization targets the
-real line, not the aggregate.
+bench.py's e2e table charges ~115-164 ms/video to "forward" and ~99-185
+ms/video to "embed_cluster" — both orders of magnitude above the
+underlying device compute (the flagship forward runs ~615 videos/s at
+batch 32; IRV1 at batch 32 is single-digit ms). This splits each stage
+into host prep / upload / device call / output fetch so the next
+optimization targets the real line, not the aggregate.
+
+MEASURED 2026-08-20 (v5e over the remote tunnel; sync = output fetch,
+since block_until_ready is fire-and-forget on this rig):
+
+  forward, batch 3:
+    call with DEVICE-resident args     33-36 ms   (≈ one tunnel round-trip;
+                                                   device compute is ~1.6
+                                                   ms/video at batch 32)
+    call with numpy args              687-691 ms  (the 7.2 MB uint8 frames
+                                                   + 4 small arrays cross
+                                                   as 5 serialized
+                                                   transfers at the day's
+                                                   ~10-25 MB/s link)
+    output fetch (logits+attn rows)    0.01-0.03 ms (already CLS-row
+                                                   slices — nothing to
+                                                   shave there)
+    require_attention adds ~0 on top of the round-trip (32.8 vs 36.0 ms).
+
+  embed_cluster, 20 crops:
+    host PIL resize ×20                ~6 ms
+    upload 32×128×128×3 uint8          ~55-73 ms  (1.5 MB, link-bound)
+    jitted IRV1 call (staged)          ~28 ms     (≈ one round-trip)
+    embedding fetch (32×512 f32)       ~0.01 ms
+
+VERDICT: both tail stages are TUNNEL-bound — argument upload plus one
+round-trip of latency each; device compute and output fetches are
+single-digit ms or less. On a directly-attached host (PCIe ~10 GB/s,
+~µs dispatch) the same stages cost single-digit ms. The two shave
+candidates named in r4 (CLS-row-only attention fetch, donated assemble
+buffers) are respectively already the case (the model emits only
+(B·H, 1, 1+F·n) CLS rows — fetch measures 0.03 ms) and immaterial next
+to the frames upload itself.
 
 Run on the real TPU:  python experiments/e2e_tail_profile.py
 """
@@ -54,16 +86,19 @@ def main():
         fwd = jax.jit(model.apply)
         dargs = jax.device_put(args)
 
+        # sync by fetching the logits: on the axon tunnel block_until_ready
+        # is fire-and-forget — only an output fetch actually waits (same
+        # convention as bench._sync), so "call" rows here are call+sync
         def call_only():
             out = fwd(variables, *dargs)
-            jax.block_until_ready(out)
+            np.asarray(out[0] if isinstance(out, tuple) else out)
             return out
 
         out, t_call = timed(f"attn={require_attention}: call (device args)", call_only)
 
         def call_np_args():
             out = fwd(variables, *args)
-            jax.block_until_ready(out)
+            np.asarray(out[0] if isinstance(out, tuple) else out)
             return out
 
         timed(f"attn={require_attention}: call (numpy args)", call_np_args)
@@ -71,7 +106,7 @@ def main():
         def fetch():
             return jax.tree.map(np.asarray, out)
 
-        timed(f"attn={require_attention}: output fetch", fetch)
+        timed(f"attn={require_attention}: full output fetch", fetch)
 
     print("\n== embed_cluster stage (20 crops, e2e bench scenario) ==")
     from mintime_tpu.preprocessing.cluster_faces import FaceEmbedder
@@ -98,14 +133,14 @@ def main():
 
     def upload():
         x = jax.device_put(padded)
-        jax.block_until_ready(x)
+        np.asarray(x[0, 0, 0])  # fetch-sync (see note above)
         return x
 
     x, _ = timed("  upload 32x128x128x3 uint8", upload)
 
     def device_call():
         out = emb._fn(emb.variables, x)
-        jax.block_until_ready(out)
+        np.asarray(out[0, 0])  # fetch-sync
         return out
 
     out, _ = timed("  jitted IRV1 call (staged input)", device_call)

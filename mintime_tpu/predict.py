@@ -287,6 +287,7 @@ def _stage_videos_pipelined(
     similarity_threshold: float,
     every_n: int,
     boxes_per_video,
+    stage_to_device: bool = False,
 ):
     """Yield ``(path, batch, plan, crop_store)`` per video with detection
     pipelining: while video ``i``'s stage-1 pyramid executes on device
@@ -302,6 +303,19 @@ def _stage_videos_pipelined(
     can_pipeline = hasattr(detector, "_dispatch_stage1") and hasattr(
         detector, "_finish_detect"
     )
+
+    def _stage(batch):
+        """Queue the assembled rows' host→device transfer NOW (async), so
+        the upload rides under the NEXT video's decode instead of bunching
+        at forward time — the tail profile measured the batched numpy-arg
+        upload as the forward stage's whole cost on a slow link
+        (experiments/e2e_tail_profile.py). The forward then concatenates
+        on device."""
+        if not stage_to_device:
+            return batch
+        import jax
+
+        return {k: jax.device_put(v) for k, v in batch.items()}
 
     def _start(i):
         """Decode video i and launch its pyramid (async dispatch)."""
@@ -327,10 +341,11 @@ def _stage_videos_pipelined(
         nxt = _start(i + 1) if i + 1 < len(video_paths) else None
         if pending[0] == "direct":
             _, path, boxes = pending
-            yield (path, *_stage_video(
+            batch, plan, store = _stage_video(
                 path, detector, embedder, cfg, similarity_threshold,
                 every_n, boxes,
-            ))
+            )
+            yield (path, _stage(batch), plan, store)
         else:
             _, path, sel, indices, full, fps, pre = pending
             per_frame = detector._finish_detect(sel, pre)
@@ -345,7 +360,8 @@ def _stage_videos_pipelined(
             w = sel[0].shape[1] // scale
             crops = crops_from_frames(full, boxes, fps)
             identities, _ = cluster_crops(crops, embedder, similarity_threshold)
-            yield (path, *assemble_inputs(identities, (w * 2, h * 2), cfg))
+            batch, plan, store = assemble_inputs(identities, (w * 2, h * 2), cfg)
+            yield (path, _stage(batch), plan, store)
         pending = nxt
 
 
@@ -488,11 +504,13 @@ def predict_videos(
         variables = jax.device_put(variables, replicated(mesh))
 
     # host stages with detection pipelining: video i+1's decode + pyramid
-    # dispatch overlap video i's NMS/crop/cluster/assemble
+    # dispatch overlap video i's NMS/crop/cluster/assemble; without a mesh
+    # each video's assembled rows are ALSO device_put as they finish, so
+    # the forward's argument upload overlaps the remaining decodes
     staged = list(  # (path, batch_dict, plan, crop_store)
         _stage_videos_pipelined(
             video_paths, detector, embedder, cfg, similarity_threshold,
-            every_n, boxes_per_video,
+            every_n, boxes_per_video, stage_to_device=mesh is None,
         )
     )
 
@@ -513,13 +531,23 @@ def predict_videos(
             pad = batch_size - n
         else:
             pad = batch_size - n if len(staged) > batch_size else 0
-        stacked = {
-            k: np.concatenate(
-                [c[1][k] for c in chunk] + [chunk[0][1][k]] * pad
-            )
-            for k in chunk[0][1]
-        }
-        if mesh is not None:
+        if mesh is None:
+            import jax.numpy as jnp
+
+            # rows are (possibly) already device-resident — concat on device
+            stacked = {
+                k: jnp.concatenate(
+                    [c[1][k] for c in chunk] + [chunk[0][1][k]] * pad
+                )
+                for k in chunk[0][1]
+            }
+        else:
+            stacked = {
+                k: np.concatenate(
+                    [c[1][k] for c in chunk] + [chunk[0][1][k]] * pad
+                )
+                for k in chunk[0][1]
+            }
             stacked = shard_batch(mesh, stacked)
         logits, attns = fwd(
             variables,
