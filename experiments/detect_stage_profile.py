@@ -28,8 +28,10 @@ def synthetic_clip(t=300, h=360, w=640, seed=0):
     SAME content class as bench.py's clips (`_synthetic_mp4s` writes a
     rng.integers(0,255) base). The noise matters: a dark base yields zero
     stage-1 candidates under random-init weights (rnet/onet never run, NMS
-    sees empty lists) and profiles a cascade 3.6x faster than the bench's
-    385 fps — the noisy base reproduces the bench's candidate load."""
+    sees empty lists) and profiled a cascade 3.6x faster than the bench of
+    its day (~385 fps, r3). Since r5 the bench itself runs spread-logit
+    score heads (bench._spread_score_logits) for a full candidate load —
+    use that detector setup to reproduce current BENCH numbers."""
     rng = np.random.default_rng(seed)
     base = rng.integers(0, 255, (h, w, 3), np.uint8)
     frames = []

@@ -16,8 +16,15 @@ channel_order='bgr' (raw cv2 frames, swap on device).
 Run on the real TPU:  python experiments/preprocess_pipeline_rate.py
   [--clips 6] [--seconds 6]
 
-MEASURED: see the JSON line this prints; the r5 measurement is recorded in
-README.md's preprocessing section.
+MEASURED 2026-08-20 (v5e over the remote tunnel, 6 clips × 180 frames
+@720p, spread-logit load, device_crops):
+
+  serial driver      4.82 s/video =  746.5 videos/hour
+  pipelined driver   3.20 s/video = 1124.1 videos/hour   (1.51×)
+
+At ForgeryNet scale (163,909 videos) that is ~220 chip-days → ~146 —
+and the serial baseline here already uses the batched cascade; the
+reference's per-frame facenet-pytorch loop is far behind both.
 """
 from __future__ import annotations
 
