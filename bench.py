@@ -1,5 +1,13 @@
 """Throughput benchmarks on one chip: model forward, training, detection,
-host input pipeline, SlowFast, and MFU accounting.
+host input pipeline, SlowFast, end-to-end predict, and MFU accounting.
+
+r5 conventions: every detection number runs UNDER CANDIDATE LOAD
+(``_spread_score_logits`` — the reference proxy's oracle trick — with the
+fused device-crop path), medians with recorded spread replace best-of
+maxima, and the e2e block reports three rates: the sequential per-stage
+``compute`` sum (attached-host convention, staged frames), the
+``staged_pipelined`` decode-thread overlap (the 1-core floor of the same),
+and the real tunnel-bound ``predict`` serving path with uploads included.
 
 Emits ONE JSON line. The headline ``metric`` is the flagship model-forward
 throughput (EfficientNet-B0 over all F=16 face crops + Size-Invariant
