@@ -91,21 +91,107 @@ def detect_video(video_path: str, detector, every_n: int = 1) -> dict:
     }
 
 
+def _decode_to_shm(path: str, channel_order: str):
+    """Decode worker body for ``decode_workers`` mode: half-res frames land
+    in a POSIX shared-memory block so the hand-off to the parent is
+    zero-copy (a 300-frame 360p clip is ~200 MB — piping that through a
+    pickle per video would eat the multi-process win).
+
+    Returns ``(shm_name | None, shape, fps, dims, frames | None)`` — the
+    pickled-``frames`` fallback covers containers whose frame-count
+    metadata undershoots the real stream (CAP_PROP_FRAME_COUNT is an
+    estimate for some codecs)."""
+    import cv2
+    from multiprocessing import shared_memory
+
+    _validate_channel_order(channel_order)
+    cap = cv2.VideoCapture(path)
+    fps = int(cap.get(cv2.CAP_PROP_FPS)) or 30
+    dims = {
+        "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        "fps": fps,
+    }
+    n_est = max(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)), 0) + 8
+    h2, w2 = dims["height"] // 2, dims["width"] // 2
+    shm = None
+    buf = None
+    tried_alloc = False
+    overflow: list = []
+    t = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frame = cv2.resize(frame, (frame.shape[1] // 2, frame.shape[0] // 2))
+        if channel_order == "rgb":
+            frame = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+        if not tried_alloc:
+            tried_alloc = True
+            h2, w2 = frame.shape[:2]  # authoritative (metadata can lie)
+            try:
+                shm = shared_memory.SharedMemory(
+                    create=True, size=max(n_est, 1) * h2 * w2 * 3
+                )
+                # the WORKER would otherwise unlink this at interpreter
+                # exit via its resource tracker; ownership moves to the
+                # parent, which unlinks after detection consumes the frames
+                try:
+                    from multiprocessing import resource_tracker
+
+                    resource_tracker.unregister(shm._name, "shared_memory")
+                except Exception:
+                    pass
+                buf = np.ndarray((n_est, h2, w2, 3), np.uint8, buffer=shm.buf)
+            except OSError:
+                pass  # no /dev/shm capacity: fall back to pickled frames
+        # once ANY frame lands in overflow, everything after must too —
+        # interleaving buf and overflow frames would scramble the order
+        if (buf is not None and not overflow and t < n_est
+                and frame.shape[:2] == (h2, w2)):
+            buf[t] = frame
+        else:
+            overflow.append(frame)
+        t += 1
+    cap.release()
+    if overflow or shm is None:
+        # metadata undershot (or no shm): ship everything pickled instead
+        in_buf = 0 if buf is None else t - len(overflow)
+        frames = [np.array(buf[i]) for i in range(in_buf)] + overflow
+        if shm is not None:
+            buf = None
+            shm.close()
+            shm.unlink()
+        return None, (len(frames), h2, w2, 3), fps, dims, frames
+    buf = None
+    shm.close()  # parent re-opens by name; creator must close its mapping
+    return shm.name, (t, h2, w2, 3), fps, dims, None
+
+
 def process_videos(
     videos: Sequence[str],
     video_root: str,
     output_root: str,
     detector,
     every_n: int = 1,
+    decode_workers: int = 0,
 ) -> list[str]:
     """Detect faces for each video, writing ``<output_root>/<rel>.json``.
     Returns the list of videos with zero detections (the miss report).
 
-    Pipelined: one decode-ahead thread + the detector's one-video-deep
+    Pipelined: decode-ahead worker(s) + the detector's one-video-deep
     stage-1 dispatch lookahead (``detect_videos_iter``), so cv2 decode,
-    device pyramid compute, and host NMS/JSON-writing for three consecutive
+    device pyramid compute, and host NMS/JSON-writing for consecutive
     videos overlap. Output files and miss report are identical to the
     serial per-video path.
+
+    ``decode_workers=0`` (default) decodes on ONE thread — right for a
+    single-core host, where a second runnable thread only convoys on the
+    GIL (measured: bench.py's staged-pipelined e2e notes). ``N > 0`` runs N
+    decode PROCESSES with zero-copy shared-memory frame hand-off — the
+    multi-core production setting, where ffmpeg decode scales per core and
+    the GIL no longer serializes decode against host NMS. Lookahead stays
+    bounded at ``decode_workers + 1`` videos in flight.
     """
     channel_order = getattr(detector, "channel_order", "rgb")
     todo = []
@@ -116,22 +202,74 @@ def process_videos(
             continue
         todo.append((video, out_path))
 
-    missed: list[str] = []
-    with ThreadPoolExecutor(max_workers=1) as decode_pool:
+    if decode_workers > 0:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        decode_pool = ProcessPoolExecutor(
+            max_workers=decode_workers, mp_context=mp.get_context("fork")
+        )
+        lookahead = decode_workers + 1
 
         def decode(path):
-            frames, _, dims = decode_half_res(
-                path, channel_order=channel_order, with_dims=True
-            )
-            return frames, dims
+            return decode_pool.submit(_decode_to_shm, path, channel_order)
 
+        def consume(fut):
+            from multiprocessing import shared_memory
+
+            name, shape, fps, dims, frames = fut.result()
+            if name is None:
+                return frames, dims, None
+            shm = shared_memory.SharedMemory(name=name)
+            # no tracker bookkeeping here: fork-context workers share the
+            # parent's resource-tracker process, and the worker already
+            # unregistered the segment at creation (ownership handed to us)
+            arr = np.ndarray(shape, np.uint8, buffer=shm.buf)
+            # hand out per-frame views; the cleanup closure frees the block
+            # once the video's detection results have been consumed
+            frames = [arr[i] for i in range(shape[0])]
+
+            def cleanup():
+                # numpy views of the LAST video may still be alive in the
+                # generator's locals when this runs: close() then raises
+                # BufferError — swallow it; the unlinked POSIX segment is
+                # freed when the final mapping dies with those views
+                try:
+                    shm.close()
+                except BufferError:
+                    pass
+                try:
+                    shm.unlink()
+                except FileNotFoundError:
+                    pass
+
+            return frames, dims, cleanup
+
+    else:
+        decode_pool = ThreadPoolExecutor(max_workers=1)
+        lookahead = 2
+
+        def decode(path):
+            def run():
+                frames, _, dims = decode_half_res(
+                    path, channel_order=channel_order, with_dims=True
+                )
+                return frames, dims
+
+            return decode_pool.submit(run)
+
+        def consume(fut):
+            frames, dims = fut.result()
+            return frames, dims, None
+
+    missed: list[str] = []
+    try:
         dims_by_index: dict[int, dict] = {}
         indices_by_video: list[list[int]] = []
+        cleanups: dict[int, object] = {}
 
         def frame_lists():
-            # bounded decode lookahead: at most 2 decoded videos in flight,
-            # so memory stays O(1) in the dataset size while the decode
-            # thread still runs one video ahead of the detector
+            # bounded decode lookahead keeps memory O(workers), not O(dataset)
             from collections import deque
 
             q: deque = deque()
@@ -140,16 +278,18 @@ def process_videos(
             def submit():
                 nonlocal nxt
                 if nxt < len(todo):
-                    q.append(decode_pool.submit(decode, todo[nxt][0]))
+                    q.append(decode(todo[nxt][0]))
                     nxt += 1
 
-            submit()
-            submit()
+            for _ in range(lookahead):
+                submit()
             i = 0
             while q:
-                frames, dims = q.popleft().result()
+                frames, dims, cleanup = consume(q.popleft())
                 submit()
                 dims_by_index[i] = dims
+                if cleanup is not None:
+                    cleanups[i] = cleanup
                 idx = list(range(0, len(frames), every_n))
                 indices_by_video.append(idx)
                 yield [frames[j] for j in idx]
@@ -169,6 +309,17 @@ def process_videos(
             # original-resolution dims sidecar for downstream size buckets
             with open(os.path.splitext(out_path)[0] + ".dims.json", "w") as f:
                 json.dump(dims_by_index.pop(i), f)
+            # NOTE: the detector's one-video lookahead means video i+1's
+            # frames are still referenced inside detect_videos_iter when
+            # video i finishes — freeing i's shared-memory block here is
+            # safe because its results are fully materialized as numpy
+            cleanup = cleanups.pop(i, None)
+            if cleanup is not None:
+                cleanup()
+    finally:
+        for cleanup in cleanups.values():  # error paths: leak nothing
+            cleanup()
+        decode_pool.shutdown(wait=True)
     return missed
 
 
@@ -184,6 +335,9 @@ def main(argv=None):
     p.add_argument("--mtcnn_weights", default=None,
                    help="dir with pnet.pt/rnet.pt/onet.pt (facenet-pytorch)")
     p.add_argument("--every_n", type=int, default=1)
+    p.add_argument("--decode_workers", type=int, default=0,
+                   help="decode processes (0 = one decode thread; use "
+                        "~cores/4 on multi-core hosts)")
     opt = p.parse_args(argv)
 
     if opt.mtcnn_weights:
@@ -201,7 +355,8 @@ def main(argv=None):
     detector = MTCNNDetector(variables, channel_order="bgr")
 
     videos = sorted(glob.glob(os.path.join(opt.video_path, "**", "*.mp4"), recursive=True))
-    missed = process_videos(videos, opt.video_path, opt.output_path, detector, opt.every_n)
+    missed = process_videos(videos, opt.video_path, opt.output_path, detector,
+                            opt.every_n, decode_workers=opt.decode_workers)
     print(f"processed {len(videos)} videos; {len(missed)} with no detections")
     for m in missed:
         print("missed:", m)

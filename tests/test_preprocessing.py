@@ -402,6 +402,22 @@ def test_process_videos_pipelined_matches_serial(tmp_path):
         1 for p in paths for v in detect_video(p, det, every_n=2).values() if v
     ) > 0, "lowered thresholds must yield detections"
 
+    # process-decode mode (multi-core hosts): shared-memory frame hand-off
+    # must produce identical outputs too
+    out_mp = tmp_path / "boxes_mp"
+    missed_mp = process_videos(
+        paths, str(vroot), str(out_mp), det, every_n=2, decode_workers=2
+    )
+    assert missed_mp == missed
+    for path in paths:
+        name = os.path.splitext(os.path.basename(path))[0]
+        assert (out_mp / f"{name}.json").read_text() == (
+            out_root / f"{name}.json"
+        ).read_text()
+        assert (out_mp / f"{name}.dims.json").read_text() == (
+            out_root / f"{name}.dims.json"
+        ).read_text()
+
     # idempotence: a second run skips everything (mutate a file; it survives)
     marker = out_root / "clip_0.json"
     marker.write_text('{"sentinel": null}')
@@ -411,6 +427,51 @@ def test_process_videos_pipelined_matches_serial(tmp_path):
     # decode helper validates channel_order like the detector does
     with pytest.raises(ValueError, match="channel_order"):
         decode_half_res(paths[0], channel_order="BGR")
+
+
+def test_decode_to_shm_fallback_matches_thread_decode(tmp_path, monkeypatch):
+    """When no shared memory is available the decode worker ships pickled
+    frames; they must be byte-identical to the thread path's decode, and
+    the normal shm path must round-trip the same frames through the
+    parent-side mapping."""
+    import cv2
+    from multiprocessing import shared_memory
+
+    from mintime_tpu.preprocessing.detect_faces import (
+        _decode_to_shm,
+        decode_half_res,
+    )
+
+    rng = np.random.default_rng(21)
+    path = str(tmp_path / "clip.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (96, 64))
+    for _ in range(7):
+        w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+    w.release()
+    want, fps = decode_half_res(path, channel_order="bgr")
+
+    # normal shm path (in-process: creator close + reopen like the parent)
+    name, shape, fps2, dims, frames = _decode_to_shm(path, "bgr")
+    assert frames is None and shape[0] == len(want) and fps2 == fps
+    shm = shared_memory.SharedMemory(name=name)
+    got = np.ndarray(shape, np.uint8, buffer=shm.buf)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    assert (dims["width"], dims["height"]) == (96, 64)
+    del got
+    shm.close()
+    shm.unlink()
+
+    # no-shm fallback: pickled frames, bit-identical
+    class Boom:
+        def __init__(self, *a, **k):
+            raise OSError("no /dev/shm")
+
+    monkeypatch.setattr(shared_memory, "SharedMemory", Boom)
+    name, shape, fps3, dims3, frames = _decode_to_shm(path, "bgr")
+    assert name is None and fps3 == fps and len(frames) == len(want)
+    for a, b in zip(want, frames):
+        np.testing.assert_array_equal(a, b)
 
 
 class TestCropGeometry:
