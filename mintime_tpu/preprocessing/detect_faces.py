@@ -133,15 +133,6 @@ def _decode_to_shm(path: str, channel_order: str):
                 shm = shared_memory.SharedMemory(
                     create=True, size=max(n_est, 1) * h2 * w2 * 3
                 )
-                # the WORKER would otherwise unlink this at interpreter
-                # exit via its resource tracker; ownership moves to the
-                # parent, which unlinks after detection consumes the frames
-                try:
-                    from multiprocessing import resource_tracker
-
-                    resource_tracker.unregister(shm._name, "shared_memory")
-                except Exception:
-                    pass
                 buf = np.ndarray((n_est, h2, w2, 3), np.uint8, buffer=shm.buf)
             except OSError:
                 pass  # no /dev/shm capacity: fall back to pickled frames
@@ -155,7 +146,10 @@ def _decode_to_shm(path: str, channel_order: str):
         t += 1
     cap.release()
     if overflow or shm is None:
-        # metadata undershot (or no shm): ship everything pickled instead
+        # metadata undershot (or no shm): ship everything pickled instead.
+        # unlink() below also UNregisters with the resource tracker, which
+        # pairs with the registration from create=True — no manual
+        # bookkeeping here (a second unregister would KeyError the tracker)
         in_buf = 0 if buf is None else t - len(overflow)
         frames = [np.array(buf[i]) for i in range(in_buf)] + overflow
         if shm is not None:
@@ -163,6 +157,15 @@ def _decode_to_shm(path: str, channel_order: str):
             shm.close()
             shm.unlink()
         return None, (len(frames), h2, w2, 3), fps, dims, frames
+    # ownership moves to the parent (which unlinks after detection consumes
+    # the frames): take the WORKER's resource tracker out of it so it does
+    # not unlink the segment when this worker process exits
+    try:
+        from multiprocessing import resource_tracker
+
+        resource_tracker.unregister(shm._name, "shared_memory")
+    except Exception:
+        pass
     buf = None
     shm.close()  # parent re-opens by name; creator must close its mapping
     return shm.name, (t, h2, w2, 3), fps, dims, None
@@ -262,7 +265,10 @@ def process_videos(
             frames, dims = fut.result()
             return frames, dims, None
 
+    from collections import deque
+
     missed: list[str] = []
+    in_flight: deque = deque()  # outer scope: the finally can drain it
     try:
         dims_by_index: dict[int, dict] = {}
         indices_by_video: list[list[int]] = []
@@ -270,22 +276,19 @@ def process_videos(
 
         def frame_lists():
             # bounded decode lookahead keeps memory O(workers), not O(dataset)
-            from collections import deque
-
-            q: deque = deque()
             nxt = 0
 
             def submit():
                 nonlocal nxt
                 if nxt < len(todo):
-                    q.append(decode(todo[nxt][0]))
+                    in_flight.append(decode(todo[nxt][0]))
                     nxt += 1
 
             for _ in range(lookahead):
                 submit()
             i = 0
-            while q:
-                frames, dims, cleanup = consume(q.popleft())
+            while in_flight:
+                frames, dims, cleanup = consume(in_flight.popleft())
                 submit()
                 dims_by_index[i] = dims
                 if cleanup is not None:
@@ -319,6 +322,23 @@ def process_videos(
     finally:
         for cleanup in cleanups.values():  # error paths: leak nothing
             cleanup()
+        # drain decoded-but-never-consumed videos: their workers already
+        # created (and disowned) shm segments that only we can unlink
+        while in_flight:
+            fut = in_flight.popleft()
+            try:
+                res = fut.result()
+            except Exception:
+                continue
+            if decode_workers > 0 and res[0] is not None:
+                from multiprocessing import shared_memory
+
+                try:
+                    s = shared_memory.SharedMemory(name=res[0])
+                    s.close()
+                    s.unlink()
+                except Exception:
+                    pass
         decode_pool.shutdown(wait=True)
     return missed
 

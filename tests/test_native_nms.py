@@ -12,7 +12,9 @@ import pytest
 import mintime_tpu.native as native
 from mintime_tpu.preprocessing.mtcnn import nms, nms_tv
 
-pytestmark = pytest.mark.skipif(
+# NOT a module-level skipif: the build-guard test below must RUN (and fail)
+# when the native tier silently stops building — a skip would defeat it
+_needs_native = pytest.mark.skipif(
     native._lib is None, reason="native tier unavailable (no C compiler)"
 )
 
@@ -35,6 +37,7 @@ def _random_boxes(rng, n, dtype, wild=False):
     return boxes.astype(dtype)
 
 
+@_needs_native
 @pytest.mark.parametrize("dtype", [np.float32, np.float64])
 @pytest.mark.parametrize("flavor", ["tv", "union", "min"])
 def test_native_matches_numpy(monkeypatch, dtype, flavor):
@@ -59,9 +62,17 @@ def test_native_matches_numpy(monkeypatch, dtype, flavor):
 
 def test_native_is_actually_used():
     """Guard against silently falling back: the built library must load on
-    this image (gcc is part of the baked toolchain)."""
+    this image (gcc is part of the baked toolchain). Deliberately NOT
+    skipped when _lib is None — that is exactly the regression this test
+    exists to catch."""
+    assert native._lib is not None, (
+        "native NMS failed to build/load — the cascade is silently running "
+        "the ~30x slower numpy fallback"
+    )
     boxes = np.array([[0, 0, 10, 10], [1, 1, 11, 11]], np.float32)
+    order = np.array([0, 1])
     out = native.greedy_nms(
-        boxes, np.array([0, 1]), 0.5, method_min=False, plus_one=False
+        boxes, order, 0.5, method_min=False, plus_one=False
     )
     assert out is not None and out.tolist() == [0]
+    np.testing.assert_array_equal(order, [0, 1])  # caller's order unmutated

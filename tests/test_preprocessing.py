@@ -429,6 +429,44 @@ def test_process_videos_pipelined_matches_serial(tmp_path):
         decode_half_res(paths[0], channel_order="BGR")
 
 
+def test_process_videos_error_path_frees_shm(tmp_path):
+    """When detection dies mid-run with decode_workers>0, the finally path
+    must drain and unlink the shared-memory segments of decoded-but-never-
+    consumed videos — a crash must not leave ~200 MB blocks in /dev/shm."""
+    import cv2
+
+    from mintime_tpu.preprocessing.detect_faces import process_videos
+
+    rng = np.random.default_rng(31)
+    vroot = tmp_path / "videos"
+    vroot.mkdir()
+    paths = []
+    for v in range(4):
+        path = str(vroot / f"clip_{v}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (96, 64))
+        for _ in range(6):
+            w.write(rng.integers(0, 255, (64, 96, 3), dtype=np.uint8))
+        w.release()
+        paths.append(path)
+
+    class Boom:
+        channel_order = "bgr"
+
+        def detect_videos_iter(self, frame_lists):
+            for i, frames in enumerate(frame_lists):
+                if i == 1:
+                    raise RuntimeError("boom")
+                yield [np.zeros((0, 5)) for _ in frames]
+
+    before = set(os.listdir("/dev/shm")) if os.path.isdir("/dev/shm") else set()
+    with pytest.raises(RuntimeError, match="boom"):
+        process_videos(paths, str(vroot), str(tmp_path / "out"), Boom(),
+                       decode_workers=2)
+    if os.path.isdir("/dev/shm"):
+        leaked = set(os.listdir("/dev/shm")) - before
+        assert not leaked, leaked
+
+
 def test_decode_to_shm_fallback_matches_thread_decode(tmp_path, monkeypatch):
     """When no shared memory is available the decode worker ships pickled
     frames; they must be byte-identical to the thread path's decode, and
